@@ -1,13 +1,458 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Transcripts
+import graft.corpus.Vocab
+import graft.dedup.Dedup
+import graft.extract.Extract
+import graft.route.Router
+import graft.score.Scorer
+import graft.sim.Ann
+import graft.text.Normalize
+import graft.textstats.TextStats
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-runnable oracle in [[oracleSql]] where
+  * the semantics are SQL-expressible (hash/LSH ops get rows-only checks and
+  * are pinned instead by ScalaTest oracles in src/test).
+  *
+  * Column-name contract: every computed column is aliased identically in the
+  * Spark plan and the oracle SQL — the driver sorts columns by name before
+  * hashing. Floating-point outputs are rounded in BOTH engines (round 6) so
+  * ULP-level accumulation-order differences can't flip the hash; money sums
+  * go through DECIMAL(18,2) for exactness.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. Runs the full
+    * extraction kernel over the documents-derived transcript corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Extract.pipeline(Transcripts.fromDocuments(spark, "/root/testdata/sf0.001"))
+
+  // ------------------------------------------------------------------------
+  // shared fragments
+  // ------------------------------------------------------------------------
+
+  /** Tokenized documents: doc_id + token array through the P1–P8 pipeline.
+    * The corpus is clean lowercase prose, so the oracle only needs the
+    * whitespace-split + filter chain (validated at build time). */
+  private def docTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      Normalize.pipeline(col("text")).as("tokens"))
+
+  /** Oracle-side equivalent of Normalize.pipeline for the documents corpus:
+    * tokens = whitespace split of lower(strip punct/digits), len in [3,15),
+    * no triple-letter runs, minus the default stoplist. */
+  private val OracleStops =
+    Normalize.DefaultStops.map(sw => s"'$sw'").mkString("[", ", ", "]")
+  // DuckDB regexes are RE2: no backreferences — spell the triple-repeat
+  // filter as the explicit 26-triple alternation (exactly the scan the
+  // reference performs, modules/main_corpus_processing.py:46-47).
+  private val OracleTriples = ('a' to 'z').map(c => s"$c$c$c").mkString("|")
+  private val OracleTokens =
+    s"""list_filter(
+         string_split_regex(lower(regexp_replace(regexp_replace(text, '[[:punct:]]', '', 'g'), '[0-9\\n\\r]', '', 'g')), '\\s+'),
+         tk -> length(tk) >= 3 AND length(tk) < 15
+               AND NOT regexp_matches(tk, '$OracleTriples')
+               AND NOT list_contains($OracleStops, tk))"""
+
+  /** conv_id / turn_idx key mapping used by Transcripts.fromDocuments,
+    * restated in SQL for the extraction oracles. */
+  private val OracleConvId = s"'c' || lpad(CAST(doc_id % ${Transcripts.ConvFold} AS VARCHAR), 4, '0')"
+  private val OracleTurnIdx = s"CAST(doc_id // ${Transcripts.ConvFold} AS INT)"
+
+  // ------------------------------------------------------------------------
+  // queries
+  // ------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------------------- relational
+    // A1/A8 — grouped sums/counts (hash agg, partial+final; money through
+    // DECIMAL for cross-engine exactness).
+    "q01_agg_sums" -> ((s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+        count(lit(1)).as("n"))),
+
+    // A1 — distribution count (img_info analog, modules/image_ocr.py:16-24)
+    "q02_event_counts" -> ((s, dir) => t(s, dir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))),
+
+    // J2/J3 — broadcast-hash equi joins: revenue per nation
+    "q03_join_revenue" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // J1 — semi join (isin filter analog, src/doc_classification.py:639)
+    "q04_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // set ops — anti join (complement-by-index analog, SURVEY.md §2.9)
+    "q05_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // T1/T6 — windowed top-n per key (deterministic tie-break)
+    "q06_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"), col("rk"))
+    }),
+
+    // T1 — argmax per key (per-doc top-topic analog): window row_number with
+    // a total tie-break order — deterministic in any engine
+    "q07_argmax" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("best_order"),
+          col("o_totalprice").cast("decimal(18,2)").as("best_price"))
+    }),
+
+    // A9 — one-hot pivot (pd.get_dummies analog, src/doc_classification.py:609)
+    "q08_pivot" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count().na.fill(0)
+        .select(col("c_mktsegment"), col("F").as("n_f"), col("O").as("n_o"),
+          col("P").as("n_p"))
+    }),
+
+    // A13 — distinct keys
+    "q09_distinct" -> ((s, dir) => t(s, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus").distinct()),
+
+    // J4 — union-dedup (vocab merge analog, src/doc_classification.py:677)
+    "q10_union_dedup" -> ((s, dir) => {
+      val a = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      val b = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      a.union(b).distinct()
+    }),
+
+    // A11/A12 — variance + mean per group (np.var/np.mean analogs)
+    "q11_stats" -> ((s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(var_pop(col("l_quantity")), 6).as("var_qty"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"))),
+
+    // T2/T4 — global top-k with deterministic tie-break
+    "q12_topk" -> ((s, dir) => t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)").as("price"))),
+
+    // ---------------------------------------------------------- text tier
+    // P1–P8 — normalization pipeline, exploded to long form
+    "q13_tokens" -> ((s, dir) => docTokens(s, dir)
+      .select(col("doc_id"), explode(col("tokens")).as("token"))),
+
+    // A2/A3 — dictionary with filter_extremes + deterministic ids
+    "q14_vocab" -> ((s, dir) => {
+      val toks = Vocab.tokensLong(docTokens(s, dir), "doc_id", "tokens")
+      val n = t(s, dir, "documents").count()
+      Vocab.build(toks, "doc_id", n, noBelow = 2, noAbove = 0.9)
+    }),
+
+    // A4 — bag of words (long form)
+    "q15_bow" -> ((s, dir) => {
+      val toksDf = docTokens(s, dir)
+      val toks = Vocab.tokensLong(toksDf, "doc_id", "tokens")
+      val n = t(s, dir, "documents").count()
+      val vocab = Vocab.build(toks, "doc_id", n, noBelow = 2, noAbove = 0.9)
+      Vocab.bow(toks, vocab, "doc_id")
+    }),
+
+    // M1 — tf-idf (rounded column math)
+    "q16_tfidf" -> ((s, dir) => {
+      val toksDf = docTokens(s, dir)
+      val toks = Vocab.tokensLong(toksDf, "doc_id", "tokens")
+      val n = t(s, dir, "documents").count()
+      val vocab = Vocab.build(toks, "doc_id", n, noBelow = 2, noAbove = 0.9)
+      Vocab.tfidf(Vocab.bow(toks, vocab, "doc_id"), vocab, "doc_id", n)
+        .withColumn("tfidf", round(col("tfidf"), 6))
+    }),
+
+    // §2.6 — first-match-wins keyword routing (single pass)
+    "q17_route" -> ((s, dir) => Router.route(docTokens(s, dir), "tokens")
+      .select(col("doc_id"), col("route"))),
+
+    // A7/T5 — docs per route, ordered (reference: docs-per-topic count)
+    "q18_route_counts" -> ((s, dir) =>
+      Router.route(docTokens(s, dir), "tokens")
+        .groupBy("route").agg(count(lit(1)).as("n"))),
+
+    // text analysis: token counts + quality + language guess
+    "q19_textstats" -> ((s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      TextStats.wsTokenCount(col("text")).as("n_ws_tokens"),
+      length(col("text")).as("n_chars"),
+      TextStats.langId(Normalize.tokenize(lower(col("text")))).as("lang_guess"))),
+
+    // quality score (integer ppm blend of densitometric features —
+    // bit-identical across engines, no float rounding boundary)
+    "q20_quality" -> ((s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      TextStats.qualityScorePpm(col("text"), Normalize.DefaultStops).as("quality_ppm"))),
+
+    // fingerprint + exact dedup
+    "q21_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---------------------------------------------------------- extraction
+    // E1–E6 — THE FLAGSHIP: full extraction kernel over the documents-derived
+    // transcript corpus; oracle = the original document text (per-turn text
+    // equality, north_rule).
+    "q30_extract" -> ((s, dir) =>
+      Extract.pipeline(Transcripts.fromDocuments(s, dir))
+        .select(col("conv_id"), col("turn_idx"), col("text"))),
+
+    // E5 — span offsets for the single-content-block shapes (0, 1, 3);
+    // layout shape 2 spans are pinned by ScalaTest instead.
+    "q31_spans" -> ((s, dir) => {
+      val turns = Transcripts.fromDocuments(s, dir)
+      Extract.pipeline(turns)
+        .withColumn("span", explode(col("spans")))
+        .select(col("conv_id"), col("turn_idx"),
+          col("span.start").as("span_start"), col("span.end").as("span_end"),
+          col("span.label").as("label"))
+        .filter(col("label") === "content")
+        .join(t(s, dir, "documents")
+            .filter(col("doc_id") % 4 =!= 2)
+            .select(
+              concat(lit("c"), lpad((col("doc_id") % Transcripts.ConvFold)
+                .cast("string"), 4, "0")).as("conv_id"),
+              (col("doc_id") / Transcripts.ConvFold).cast("int").as("turn_idx")),
+          Seq("conv_id", "turn_idx"), "left_semi")
+    })
+  )
+
+  // ------------------------------------------------------------------------
+  // oracles (DuckDB SQL over the same parquet tables)
+  // ------------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_sums" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           count(*) AS n
+         FROM lineitem GROUP BY 1, 2""",
+
+    "q02_event_counts" ->
+      """SELECT event_type, count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+         FROM events GROUP BY 1""",
+
+    "q03_join_revenue" ->
+      """SELECT n_name,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+           count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1""",
+
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""",
+
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+
+    "q06_window_topn" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, rk
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders)
+         WHERE rk <= 3""",
+
+    "q07_argmax" ->
+      """SELECT o_custkey, o_orderkey AS best_order,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS best_price
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders)
+         WHERE rk = 1""",
+
+    "q08_pivot" ->
+      """SELECT c_mktsegment,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+         FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""",
+
+    "q09_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q10_union_dedup" ->
+      """SELECT o_custkey AS custkey FROM orders
+         UNION SELECT c_custkey AS custkey FROM customer""",
+
+    "q11_stats" ->
+      """SELECT l_returnflag,
+           round(var_pop(l_quantity), 6) AS var_qty,
+           round(avg(l_quantity), 6) AS avg_qty
+         FROM lineitem GROUP BY 1""",
+
+    "q12_topk" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "q13_tokens" ->
+      s"""SELECT doc_id, unnest($OracleTokens) AS token FROM documents""",
+
+    "q14_vocab" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest($OracleTokens) AS token FROM documents),
+          stats AS (
+            SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM documents)
+          SELECT token,
+            CAST(row_number() OVER (ORDER BY df DESC, token ASC) - 1 AS BIGINT) AS id,
+            df
+          FROM stats, n WHERE df >= 2 AND df <= 0.9 * n_docs""",
+
+    "q15_bow" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest($OracleTokens) AS token FROM documents),
+          stats AS (
+            SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          vocab AS (
+            SELECT token,
+              CAST(row_number() OVER (ORDER BY df DESC, token ASC) - 1 AS BIGINT) AS id
+            FROM stats, n WHERE df >= 2 AND df <= 0.9 * n_docs)
+          SELECT doc_id, id AS token_id, count(*) AS cnt
+          FROM toks JOIN vocab USING (token) GROUP BY 1, 2""",
+
+    "q16_tfidf" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest($OracleTokens) AS token FROM documents),
+          stats AS (
+            SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          vocab AS (
+            SELECT token, df,
+              CAST(row_number() OVER (ORDER BY df DESC, token ASC) - 1 AS BIGINT) AS id
+            FROM stats, n WHERE df >= 2 AND df <= 0.9 * n_docs),
+          bow AS (
+            SELECT doc_id, id AS token_id, df, count(*) AS cnt
+            FROM toks JOIN vocab USING (token) GROUP BY 1, 2, 3)
+          SELECT doc_id, token_id, cnt,
+            round(cnt * ln((SELECT n_docs FROM n) / CAST(df AS DOUBLE)), 6) AS tfidf
+          FROM bow""",
+
+    "q17_route" ->
+      s"""SELECT doc_id, CASE
+            WHEN list_contains($OracleTokens, 'scan') AND list_contains($OracleTokens, 'table') THEN 'scan_heavy'
+            WHEN list_contains($OracleTokens, 'join') AND list_contains($OracleTokens, 'sort') AND list_contains($OracleTokens, 'merge') THEN 'join_sort'
+            WHEN list_contains($OracleTokens, 'window') AND list_contains($OracleTokens, 'agg') THEN 'windowed'
+            WHEN list_contains($OracleTokens, 'stream') AND list_contains($OracleTokens, 'batch') THEN 'streaming'
+            WHEN list_contains($OracleTokens, 'vector') AND list_contains($OracleTokens, 'column') THEN 'vectorized'
+            WHEN list_contains($OracleTokens, 'hash') AND list_contains($OracleTokens, 'key') THEN 'hashing'
+            WHEN list_contains($OracleTokens, 'group') AND list_contains($OracleTokens, 'query') THEN 'grouped'
+            WHEN list_contains($OracleTokens, 'filter') AND list_contains($OracleTokens, 'row') THEN 'filtered'
+            WHEN list_contains($OracleTokens, 'order') AND list_contains($OracleTokens, 'part') THEN 'ordered'
+            WHEN list_contains($OracleTokens, 'data') AND list_contains($OracleTokens, 'value') THEN 'misc_data'
+            ELSE 'unrouted' END AS route
+          FROM documents""",
+
+    "q18_route_counts" ->
+      s"""WITH routed AS (
+            SELECT doc_id, CASE
+              WHEN list_contains($OracleTokens, 'scan') AND list_contains($OracleTokens, 'table') THEN 'scan_heavy'
+              WHEN list_contains($OracleTokens, 'join') AND list_contains($OracleTokens, 'sort') AND list_contains($OracleTokens, 'merge') THEN 'join_sort'
+              WHEN list_contains($OracleTokens, 'window') AND list_contains($OracleTokens, 'agg') THEN 'windowed'
+              WHEN list_contains($OracleTokens, 'stream') AND list_contains($OracleTokens, 'batch') THEN 'streaming'
+              WHEN list_contains($OracleTokens, 'vector') AND list_contains($OracleTokens, 'column') THEN 'vectorized'
+              WHEN list_contains($OracleTokens, 'hash') AND list_contains($OracleTokens, 'key') THEN 'hashing'
+              WHEN list_contains($OracleTokens, 'group') AND list_contains($OracleTokens, 'query') THEN 'grouped'
+              WHEN list_contains($OracleTokens, 'filter') AND list_contains($OracleTokens, 'row') THEN 'filtered'
+              WHEN list_contains($OracleTokens, 'order') AND list_contains($OracleTokens, 'part') THEN 'ordered'
+              WHEN list_contains($OracleTokens, 'data') AND list_contains($OracleTokens, 'value') THEN 'misc_data'
+              ELSE 'unrouted' END AS route
+            FROM documents)
+          SELECT route, count(*) AS n FROM routed GROUP BY 1""",
+
+    "q19_textstats" ->
+      """SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), tk -> length(tk) > 0)) AS n_ws_tokens,
+           length(text) AS n_chars,
+           CASE WHEN list_contains(list_filter(string_split_regex(lower(text), '\s+'), tk -> length(tk) > 0), 'the')
+                THEN 'en' ELSE 'und' END AS lang_guess
+         FROM documents""",
+
+    "q20_quality" ->
+      s"""WITH f AS (
+           SELECT doc_id,
+             greatest(length(text), 1) AS len,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+             list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0) AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             len, punct, digits, greatest(len(toks), 1) AS nt,
+             len(list_filter(toks, tk -> list_contains($OracleStops, tk))) AS stop_hits
+           FROM f)
+         SELECT doc_id,
+           greatest(0, least(1000000,
+             500000 + (least(nt, 64) * 300000) // 64
+                    + (stop_hits * 200000) // nt
+                    - (punct * 500000) // len
+                    - (digits * 500000) // len)) AS quality_ppm
+         FROM g""",
+
+    "q21_dedup_exact" ->
+      """WITH fp AS (
+           SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+           FROM documents),
+         keepers AS (
+           SELECT fingerprint, min(doc_id) AS keeper FROM fp GROUP BY 1)
+         SELECT doc_id, fingerprint, doc_id = keeper AS keep
+         FROM fp JOIN keepers USING (fingerprint)""",
+
+    "q30_extract" ->
+      s"""SELECT $OracleConvId AS conv_id, $OracleTurnIdx AS turn_idx, text
+          FROM documents""",
+
+    "q31_spans" ->
+      s"""SELECT $OracleConvId AS conv_id, $OracleTurnIdx AS turn_idx,
+            CASE doc_id % 4
+              WHEN 0 THEN 98
+              WHEN 1 THEN 117
+              WHEN 3 THEN 41 END AS span_start,
+            CASE doc_id % 4
+              WHEN 0 THEN 98 + length(text)
+              WHEN 1 THEN 117 + length(text)
+              WHEN 3 THEN 41 + length(text) END AS span_end,
+            'content' AS label
+          FROM documents WHERE doc_id % 4 <> 2"""
+  )
 }

@@ -1,0 +1,59 @@
+package graft.core
+
+import java.sql.Timestamp
+
+/** Core data model of the transcript-extraction engine.
+  *
+  * Input row shape per BASELINE.json:input_hint — an Iceberg/parquet table of
+  * multi-turn conversation / agent transcripts. Identity is the composite key
+  * `(conv_id, turn_idx)`; ordering within a conversation is load-bearing
+  * (the reference ties doc identity to list position,
+  * reference: src/doc_classification.py:117-131 — we replace positional
+  * identity with explicit keys, SURVEY.md §1).
+  */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp
+)
+
+/** A span of extracted content, with [start, end) character offsets into the
+  * ORIGINAL turn payload (reference analog: spaCy sentence spans,
+  * src/spacy_test.py:30-42). */
+final case class Span(start: Int, end: Int, label: String)
+
+/** Output row: extracted main content + span offsets, keyed like the input.
+  * Reference analog: the `.txt` sibling emitted by the OCR kernel
+  * (modules/image_ocr.py:29-36) — but keyed and auditable. */
+final case class ExtractedTurn(
+    conv_id: String,
+    turn_idx: Int,
+    text: String,
+    spans: Seq[Span]
+)
+
+/** One lexed block of a turn payload (E1 in SURVEY.md §2.4): a run of text
+  * inside one block-level container, with char offsets into the original
+  * payload plus densitometric raw counts used by the E2/E3 classifier.
+  *
+  *  - `tag`      innermost block-level container tag ("" for bare text)
+  *  - `path`     '/'-joined open block-tag stack (chrome detection looks here)
+  *  - `text`     concatenated text content of the block (entities decoded)
+  *  - `start`/`end` offsets of the block's text region in the raw payload
+  *  - `nTags`    inline tags seen inside the block
+  *  - `nLinks`   <a> tags seen inside the block
+  *  - `linkChars` chars of text that sit inside <a>...</a>
+  */
+final case class Block(
+    tag: String,
+    path: String,
+    text: String,
+    start: Int,
+    end: Int,
+    nTags: Int,
+    nLinks: Int,
+    linkChars: Int
+)

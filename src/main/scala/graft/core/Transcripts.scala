@@ -1,0 +1,132 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic transcript corpora.
+  *
+  * Two generators, both pure functions of their inputs (TESTDATA rule: no
+  * external data; FIXTURES.md "Generator"):
+  *
+  *  - [[fromDocuments]] derives a transcripts table from the driver-provided
+  *    `documents.parquet`, wrapping each document's text in one of four
+  *    deterministic payload shapes (markup / markup+aside / pseudo-PDF
+  *    layout / tool JSON). Because the wrapping is injective and the content
+  *    is exactly the document text, the expected extraction is expressible
+  *    in ANSI SQL over the same table — giving the driver's DuckDB gate a
+  *    bit-exact oracle for the FULL extraction kernel (north_rule: per-turn
+  *    text equality).
+  *
+  *  - [[synthetic]] manufactures an arbitrary-size corpus from `spark.range`
+  *    for benchmarks and skew tests — fully distributed, no driver-side data,
+  *    size-independent of any input file. Payload content is derived from
+  *    the row id with cheap arithmetic so generation never bottlenecks the
+  *    measurement of the extraction kernel itself.
+  */
+object Transcripts {
+
+  /** Number of conversations the documents corpus is folded into. Prime, so
+    * conv sizes stay balanced for any doc count. */
+  val ConvFold = 97
+
+  // The four payload shapes. Kept structurally simple on purpose: the ORACLE
+  // (DuckDB SQL in SparkEntry.oracleSql) must be able to state the expected
+  // extraction, while the ENGINE must recover it with the generic lexer —
+  // the engine never sees these constants.
+  private val NavChrome =
+    """<nav><a href="#">home</a> <a href="#">docs</a> <a href="#">about</a></nav>"""
+  private val FooterChrome = """<footer>(c) 2024 graft corp &amp; co</footer>"""
+  private val AsideChrome = """<aside><a href="#">ad one</a> <a href="#">ad two</a></aside>"""
+  private val HeaderChrome = """<header><h1>Results</h1></header>"""
+
+  /** Build the transcripts table from `documents.parquet` in `dir`.
+    * Columns: (conv_id string, turn_idx int, role string, text string,
+    * tool string, ts timestamp) — BASELINE.json:input_hint shape. */
+  def fromDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.select(
+      concat(lit("c"), lpad((col("doc_id") % ConvFold).cast("string"), 4, "0")).as("conv_id"),
+      (col("doc_id") / ConvFold).cast("int").as("turn_idx"),
+      expr("element_at(array('user','assistant','tool'), cast(doc_id % 3 as int) + 1)").as("role"),
+      payload(col("doc_id"), col("text")).as("text"),
+      when(col("doc_id") % 3 === 2, lit("search")).otherwise(lit(null)).cast("string").as("tool"),
+      (lit(1704067200L) + col("doc_id")).cast("timestamp").as("ts")
+    )
+  }
+
+  /** The deterministic wrapping: shape = doc_id % 4.
+    * 0: nav + content div + footer
+    * 1: header + aside + content div + footer
+    * 2: pseudo-PDF layout — text split into 8-token lines "x y text"
+    * 3: tool JSON {"tool":"search","status":"ok","result":"<text>"}
+    * All shapes extract back to exactly the document text. */
+  def payload(docId: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val shape = docId % 4
+    when(shape === 0,
+      concat(lit(NavChrome + "<div class=\"content\"><p>"), text,
+        lit("</p></div>" + FooterChrome)))
+    .when(shape === 1,
+      concat(lit(HeaderChrome + AsideChrome + "<div class=\"content\"><p>"), text,
+        lit("</p></div>" + FooterChrome)))
+    .when(shape === 2, layoutPayload(text))
+    .otherwise(
+      concat(lit("""{"tool":"search","status":"ok","result":""""), text,
+        lit("\"}")))
+  }
+
+  /** Shape 2: "%PDFISH\n" then lines `10 <y> <eight tokens>` with y = 10,
+    * 20, 30… in reading order. Token text contains no newlines/quotes by
+    * construction (documents.text is space-joined words). The SQL oracle
+    * for this shape is simply the original text, because reading-order
+    * reassembly re-joins the 8-token chunks with single spaces. */
+  private def layoutPayload(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // split into words, chunk by 8, emit "10 {10*(i+1)} chunk" lines
+    val words = split(text, " ")
+    val lastChunk = floor((size(words) - lit(1)) / lit(8)).cast("int")
+    val lines = array_join(
+      transform(sequence(lit(0), lastChunk), i =>
+        concat(lit("10 "), ((i + lit(1)) * lit(10)).cast("string"), lit(" "),
+          array_join(slice(words, i * lit(8) + lit(1), lit(8)), " "))),
+      "\n")
+    concat(lit("%PDFISH\n"), lines)
+  }
+
+  /** Arbitrary-scale synthetic corpus for bench/skew runs: `nTurns` rows,
+    * `turnsPerConv` turns per conversation, optional skew (conversation 0
+    * receives `skewFactor` × the normal turn count — FIXTURES.md skew tier).
+    * Text payload cycles through the same four shapes with generated word
+    * content (id-derived, ~40 tokens/turn). */
+  def synthetic(spark: SparkSession, nTurns: Long, turnsPerConv: Int = 20,
+                skewFactor: Int = 1): DataFrame = {
+    val base = spark.range(nTurns).toDF("id")
+    val conv =
+      if (skewFactor <= 1) (col("id") / turnsPerConv).cast("long")
+      else
+        // first skewFactor*turnsPerConv rows all land in conversation 0
+        when(col("id") < lit(skewFactor.toLong * turnsPerConv), lit(0L))
+          .otherwise((col("id") / turnsPerConv).cast("long"))
+    val words = expr(
+      // 40 pseudo-words drawn from a 64-word id-seeded cycle; pure arithmetic,
+      // no RNG (Date/rand would break deterministic resume).
+      """
+      array_join(
+        transform(sequence(0, 39),
+          i -> concat('w', cast(pmod(id * 2654435761 + i * 40503, 64) as string))),
+        ' ')
+      """)
+    base
+      .withColumn("conv", conv)
+      .withColumn("conv_id", concat(lit("c"), lpad(col("conv").cast("string"), 8, "0")))
+      .withColumn("turn_idx",
+        when(col("conv") === 0, col("id")).otherwise((col("id") % turnsPerConv)).cast("int"))
+      .withColumn("role",
+        expr("element_at(array('user','assistant','tool'), cast(id % 3 as int) + 1)"))
+      .withColumn("doc_text", words)
+      .withColumn("text", payload(col("id"), col("doc_text")))
+      .withColumn("tool",
+        when(col("id") % 3 === 2, lit("search")).otherwise(lit(null)).cast("string"))
+      .withColumn("ts", (lit(1704067200L) + col("id")).cast("timestamp"))
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "doc_text")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A2–A4 + M1 — corpus-global vocabulary statistics, dictionary, bag-of-words
+  * and TF-IDF (SURVEY.md §2.3, §2.8). The reference delegates these to
+  * gensim's `corpora.Dictionary` / `doc2bow`
+  * (reference: modules/main_corpus_processing.py:164-178) and sklearn's
+  * `TfidfVectorizer` (reference: modules/k_means_approach.py:18-19,
+  * src/supervised.py:118-121); here they are plain relational algebra so
+  * Catalyst plans them — the df-stats aggregation is the pipeline's only
+  * wide dependency (SURVEY.md §3), executed as partial+final hash aggregate.
+  *
+  * Scale notes (100 TB design):
+  *  - token explosion shuffles once on `token` for df stats; map-side
+  *    partial aggregation keeps the exchange proportional to |vocab|, not
+  *    corpus size;
+  *  - the pruned vocabulary is small by construction (`keep_n` cap —
+  *    reference keeps ≤127 terms, src/LDAvis_choose_n_topics/bow_corpus_7.mm)
+  *    so it broadcast-joins back onto the corpus: BOW assembly is narrow;
+  *  - ids are deterministic (sort-then-index over the pruned vocab with a
+  *    stable tie-break), NEVER `monotonically_increasing_id` (SURVEY.md A2).
+  */
+object Vocab {
+
+  /** Explode a token-array column into long form (docKey, token). */
+  def tokensLong(df: DataFrame, docKey: String, tokensCol: String): DataFrame =
+    df.select(col(docKey), explode(col(tokensCol)).as("token"))
+
+  /** A3 (stats half) — document frequency per token. */
+  def dfStats(tokensLong: DataFrame, docKey: String): DataFrame =
+    tokensLong.select(col(docKey), col("token")).distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+
+  /** A2+A3 — build the dictionary: filter extremes
+    * (df < noBelow || df > noAbove·N dropped; reference:
+    * main_corpus_processing.py:174 with call-site params
+    * src/doc_classification.py:479-482), cap at keepN most frequent, then
+    * assign deterministic ids by (df desc, token asc) — stable across runs
+    * and partitionings. Returns (token, id, df). */
+  def build(tokensLong: DataFrame, docKey: String, nDocs: Long,
+            noBelow: Long = 1, noAbove: Double = 1.0,
+            keepN: Int = 100000): DataFrame = {
+    val stats = dfStats(tokensLong, docKey)
+      .filter(col("df") >= noBelow && col("df") <= (lit(noAbove) * nDocs))
+    // vocab is small post-pruning: a single-partition sort-then-index is the
+    // deterministic-id strategy SURVEY.md §7 hard-part (b) calls for.
+    val w = Window.orderBy(col("df").desc, col("token").asc)
+    stats
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= keepN)
+      .select(col("token"), (col("rk") - 1).cast("long").as("id"), col("df"))
+  }
+
+  /** A4 — bag of words in long form (docKey, token_id, cnt): explode →
+    * broadcast-join vocab → count. Long form keeps downstream ops
+    * relational (SURVEY.md §1 BOW row). */
+  def bow(tokensLong: DataFrame, vocab: DataFrame, docKey: String): DataFrame =
+    tokensLong
+      .join(broadcast(vocab.select("token", "id")), Seq("token"))
+      .groupBy(col(docKey), col("id").as("token_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(docKey), col("token_id"), col("cnt"))
+
+  /** M1 — TF-IDF from BOW + df stats as pure column math
+    * (reference: TfidfVectorizer(max_df=.5) k_means_approach.py:18;
+    * sublinear variant supervised.py:118). HashingTF is rejected — hash
+    * collisions break fixture equality (SURVEY.md M1). idf = ln(N/df);
+    * sublinear tf = 1 + ln(tf). */
+  def tfidf(bow: DataFrame, vocab: DataFrame, docKey: String, nDocs: Long,
+            sublinear: Boolean = false): DataFrame = {
+    val tf: Column =
+      if (sublinear) lit(1.0) + log(col("cnt").cast("double"))
+      else col("cnt").cast("double")
+    bow
+      .join(broadcast(vocab.select(col("id").as("token_id"), col("df"))), Seq("token_id"))
+      .withColumn("tfidf", tf * log(lit(nDocs.toDouble) / col("df").cast("double")))
+      .select(col(docKey), col("token_id"), col("cnt"), col("tfidf"))
+  }
+
+  /** A5 — global token frequency, keep freq > minFreq
+    * (reference: modules/k_means_approach.py:60-65). */
+  def globalFreq(tokensLong: DataFrame, minFreq: Long = 1): DataFrame =
+    tokensLong.groupBy("token").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > minFreq)
+}

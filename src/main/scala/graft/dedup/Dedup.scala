@@ -1,0 +1,169 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for a web-scale training-data pipeline: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-shuffle on a 16-byte digest — the minimum
+  *    possible exchange; the winner per group is chosen with min(), not a
+  *    window sort, so partial aggregation applies;
+  *  - MinHash/LSH never materializes the O(n²) pair space: docs shuffle once
+  *    keyed by (band, band-signature) and only same-bucket pairs join;
+  *  - SimHash buckets on 16-bit sub-keys of the 64-bit signature (each
+  *    near-dup pair within Hamming distance r collides on ≥1 sub-key for
+  *    r ≤ 3 by pigeonhole over 4 sub-keys);
+  *  - embedding near-dup composes with [[graft.sim.Ann]]'s LSH bucketing.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact (hash)
+
+  /** Exact dedup: md5 over normalized text; keeps the smallest key per
+    * digest group. Returns (key, fingerprint, keep) for every row —
+    * keep = true on the group's canonical representative. */
+  def exact(df: DataFrame, key: String, text: String): DataFrame = {
+    val fp = md5(regexp_replace(lower(col(text)), "\\s+", " "))
+    val withFp = df.select(col(key), fp.as("fingerprint"))
+    val keepers = withFp.groupBy("fingerprint")
+      .agg(min(col(key)).as("keeper"))
+    withFp.join(keepers, Seq("fingerprint"))
+      .select(col(key), col("fingerprint"),
+        (col(key) === col("keeper")).as("keep"))
+  }
+
+  // ------------------------------------------------------- shingles / jaccard
+
+  /** k-token shingles of a token array, as strings. */
+  def shingles(tokens: Column, k: Int): Column =
+    transform(sequence(lit(0), greatest(size(tokens) - k, lit(0))),
+      i => array_join(slice(tokens, i + 1, lit(k)), " "))
+
+  /** n-gram Jaccard near-dup: candidate pairs share ≥1 shingle (inverted-
+    * index self-join — never the full cross product), similarity =
+    * |∩| / (|A| + |B| − |∩|) over DISTINCT shingle sets. Returns pairs with
+    * jaccard ≥ threshold, key_a < key_b. */
+  def ngramJaccard(df: DataFrame, key: String, tokens: String, k: Int,
+                   threshold: Double): DataFrame = {
+    val sh = df
+      .select(col(key).as("k"), explode(array_distinct(shingles(col(tokens), k))).as("sh"))
+    val sizes = sh.groupBy("k").agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.k") < col("b.k"))
+      .groupBy(col("a.k").as("key_a"), col("b.k").as("key_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("k", "key_a").withColumnRenamed("sz", "sz_a"), Seq("key_a"))
+      .join(sizes.withColumnRenamed("k", "key_b").withColumnRenamed("sz", "sz_b"), Seq("key_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("key_a", "key_b", "jaccard")
+  }
+
+  // ------------------------------------------------------------ MinHash + LSH
+
+  /** MinHash signature: numHashes values, hash_i(doc) = min over shingles of
+    * ((a_i * h + b_i) mod p), h = xxhash64(shingle) (64-bit, codegen'd).
+    * Pure column math — the signature is computed per row, no shuffle. */
+  def minhashSignature(tokens: Column, k: Int, numHashes: Int): Column = {
+    val p = lit(2305843009213693951L) // 2^61 - 1
+    val sh = array_distinct(shingles(tokens, k))
+    val hs = transform(sh, s => pmod(xxhash64(s), p))
+    array((0 until numHashes).map { i =>
+      val a = lit(1000000007L * (i + 1) % 2305843009213693951L)
+      val b = lit(998244353L * (i * i + 1) % 2305843009213693951L)
+      array_min(transform(hs, h => pmod(h * a + b, p)))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-dup candidates: band the signature (bands × rowsPerBand
+    * = numHashes), bucket-join on (band_id, band_signature). One shuffle
+    * keyed by band bucket; same-bucket pairs only. Returns candidate pairs
+    * with their estimated Jaccard (fraction of matching signature slots). */
+  def minhashLsh(df: DataFrame, key: String, tokens: String, k: Int = 3,
+                 numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = df.select(col(key).as("k"),
+      minhashSignature(col(tokens), k, numHashes).as("sig"))
+    val banded = sig.select(col("k"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
+          x => x.cast("string")), ":"))).as(Seq("band", "bucket")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.k") < col("b.k"))
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => (x === y).cast("int")), e => e === 1)).cast("double")
+          / numHashes.toDouble, 6))
+      .select("key_a", "key_b", "est_jaccard")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over the token array: per-bit majority vote of token
+    * xxhash64 values, columnar (bit ops inside aggregate()). */
+  def simhash(tokens: Column): Column = {
+    val hs = transform(tokens, t => xxhash64(t))
+    val votes = (0 until 64).map { bit =>
+      // sum over tokens of (+1 if bit set else -1)
+      aggregate(hs, lit(0),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+    }
+    votes.zipWithIndex.map { case (v, bit) =>
+      when(v > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup: bucket on the 4 16-bit sub-keys (pigeonhole: Hamming
+    * distance ≤ 3 ⇒ some sub-key equal), join within buckets, verify true
+    * Hamming distance ≤ maxHamming. */
+  def simhashDup(df: DataFrame, key: String, tokens: String,
+                 maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(key).as("k"), simhash(col(tokens)).as("sh"))
+    val banded = sh.select(col("k"), col("sh"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band", "bucket")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.k") < col("b.k"))
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("key_a", "key_b", "hamming")
+  }
+
+  // ------------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-dup over an Array[Float] column: normalized dot
+    * product ≥ threshold. Candidate generation via random-hyperplane LSH
+    * sign-buckets (see [[graft.sim.Ann.hyperplaneBucket]]); here the exact
+    * small-scale variant joins all pairs below a key cap — the scale path is
+    * Ann.lshTopK. */
+  def embeddingDup(df: DataFrame, key: String, vec: String,
+                   threshold: Double): DataFrame = {
+    val v = df.select(col(key).as("k"), col(vec).as("v"))
+    val norm = v.withColumn("n",
+      sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double"))))
+    norm.as("a").join(norm.as("b"), col("a.k") < col("b.k"))
+      .withColumn("cos",
+        round(aggregate(zip_with(col("a.v"), col("b.v"),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0d), (acc, x) => acc + x)
+          / (col("a.n") * col("b.n")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"), col("cos"))
+  }
+}

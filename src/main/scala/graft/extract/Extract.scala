@@ -1,0 +1,116 @@
+package graft.extract
+
+import graft.core.{Block, Turn}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** E2–E6 — block featurization, content-vs-chrome classification, span
+  * recovery and reassembly (SURVEY.md §2.4). The reference's analog is the
+  * LDA/RF label assignment over whole documents
+  * (reference: src/doc_classification.py:108-140, src/supervised.py:142-146);
+  * here it is a Boilerpipe/Readability-style per-block decision re-expressed
+  * as a UDF-free column pipeline (north_star): every feature and the final
+  * rule is `org.apache.spark.sql.functions` higher-order-function math over
+  * the lexed block array, so the whole stage stays inside whole-stage
+  * codegen and needs no shuffle.
+  *
+  * Stage layout over a transcripts DataFrame (conv_id, turn_idx, role, text,
+  * tool, ts):
+  *
+  *   1. [[lexed]]      — typed map through [[Lexer.lex]] (the only
+  *                       non-columnar step; genuinely imperative parsing)
+  *   2. [[classified]] — per-block features + chrome/content label, columnar
+  *   3. [[extracted]]  — `text` = content blocks joined, `spans` = offsets,
+  *                       columnar (`filter`/`transform`/`array_join`)
+  */
+object Extract {
+
+  /** Tags/paths that are chrome by construction (densitometric shortcut —
+    * the "tag-ratio heuristics" of the north_star). */
+  private val ChromePathRe = "(^|/)(nav|footer|header|aside)($|/)"
+
+  /** Separator used when reassembling multi-block content. Layout lines are
+    * rejoined with a single space (the generator splits on spaces), HTML
+    * blocks likewise — byte-exactness is proven by the fixture oracle. */
+  val JoinSep = " "
+
+  import org.apache.spark.sql.types._
+  private val blockSchema = ArrayType(StructType(Seq(
+    StructField("tag", StringType), StructField("path", StringType),
+    StructField("text", StringType), StructField("start", IntegerType),
+    StructField("end", IntegerType), StructField("nTags", IntegerType),
+    StructField("nLinks", IntegerType), StructField("linkChars", IntegerType))))
+
+  /** Stage 1 (E1): attach the lexed block stream as a `blocks` column.
+    * Runs partition-parallel; no shuffle. */
+  def lexed(turns: DataFrame): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    // Typed map keeps Tungsten encoding end-to-end; the lexer itself is the
+    // only imperative kernel in the pipeline (cf. SURVEY.md §2.9 UDx policy).
+    val lexUdf = udf((text: String, role: String) => Lexer.lex(text, role))
+    turns.withColumn("blocks", lexUdf(col("text"), col("role")))
+  }
+
+  /** Stage 2 (E2+E3): per-block densitometric features and label, computed
+    * with higher-order functions only.
+    *
+    * Label rule (threshold tier of E3; E4 neural scorer refines it):
+    *   chrome  ⇐ path matches nav/footer/header/aside
+    *   chrome  ⇐ link density > 0.5          (menus, button bars)
+    *   chrome  ⇐ text length < 3             (stray separators)
+    *   content ⇐ otherwise
+    */
+  def classified(withBlocks: DataFrame): DataFrame = {
+    withBlocks.withColumn(
+      "blocks",
+      expr(s"""
+        transform(blocks, b -> named_struct(
+          'tag', b.tag, 'path', b.path, 'text', b.text,
+          'start', b.start, 'end', b.end,
+          'nTags', b.nTags, 'nLinks', b.nLinks, 'linkChars', b.linkChars,
+          'text_len', length(b.text),
+          'link_density', CASE WHEN length(b.text) = 0 THEN 1.0D
+                               ELSE CAST(b.linkChars AS DOUBLE) / length(b.text) END,
+          'tag_density', CASE WHEN length(b.text) = 0 THEN 1.0D
+                              ELSE CAST(b.nTags AS DOUBLE) / length(b.text) END,
+          'label', CASE
+            WHEN b.path RLIKE '$ChromePathRe' THEN 'chrome'
+            WHEN length(b.text) = 0 THEN 'chrome'
+            WHEN CAST(b.linkChars AS DOUBLE) / length(b.text) > 0.5D THEN 'chrome'
+            WHEN length(b.text) < 3 THEN 'chrome'
+            ELSE 'content' END))
+      """))
+  }
+
+  /** Stage 3 (E5+E6): reassemble extracted text from content blocks and emit
+    * span offsets into the original payload. Pure column math. */
+  def extracted(classifiedDf: DataFrame): DataFrame = {
+    classifiedDf
+      .withColumn("content_blocks", expr("filter(blocks, b -> b.label = 'content')"))
+      .withColumn("extracted",
+        expr(s"array_join(transform(content_blocks, b -> b.text), '$JoinSep')"))
+      .withColumn("spans",
+        expr("transform(content_blocks, b -> named_struct(" +
+          "'start', b.start, 'end', b.end, 'label', b.label))"))
+      .drop("content_blocks")
+  }
+
+  /** Full kernel: transcripts in → (conv_id, turn_idx, extracted, spans).
+    * Quarantine semantics (reference: src/doc_classification.py:75-105 —
+    * empty-BOW docs moved aside): rows whose payload yields zero content
+    * blocks are NOT dropped; they surface with empty text so that
+    * main ∪ quarantine reconciles with the input (FIXTURES.md family 8). */
+  def pipeline(turns: DataFrame): DataFrame =
+    extracted(classified(lexed(turns)))
+      .select(col("conv_id"), col("turn_idx"),
+        col("extracted").as("text"), col("spans"))
+
+  /** Rows that produced no content — the quarantine table (S13 analog),
+    * with a reason column instead of a filesystem rename. */
+  def quarantine(turns: DataFrame): DataFrame =
+    extracted(classified(lexed(turns)))
+      .filter(col("extracted") === lit(""))
+      .select(col("conv_id"), col("turn_idx"),
+        lit("no_content_blocks").as("reason"))
+}

@@ -1,0 +1,262 @@
+package graft.extract
+
+import graft.core.Block
+import scala.collection.mutable
+
+/** E1 — byte/DOM stream tokenizer of a turn payload into a block stream with
+  * char offsets (SURVEY.md §2.4). This is the engine's replacement for the
+  * reference's opaque extraction kernel (`shell_tesseract`,
+  * reference: modules/image_ocr.py:29-36): instead of shelling out per file,
+  * a pure Scala lexer runs partition-parallel inside a typed `Dataset.map`.
+  *
+  * The lexer handles four payload families (detected by [[PayloadKind]]):
+  * HTML-ish markup, pseudo-PDF layout lines, tool-call JSON, and plain text.
+  * Everything downstream (features, classification, reassembly) is columnar.
+  *
+  * Design constraints:
+  *  - single forward pass, zero allocation beyond the output blocks;
+  *  - offsets are char offsets into the ORIGINAL payload (span recovery, E5);
+  *  - block text must be byte-exact recoverable (north_rule: per-turn text
+  *    equality) — no normalization happens here.
+  */
+object Lexer {
+
+  /** Block-level container tags: opening/closing one closes the current text
+    * block. Inline tags accumulate into the current block's tag counts. */
+  private val BlockTags: Set[String] = Set(
+    "div", "p", "nav", "footer", "header", "aside", "main", "article",
+    "section", "ul", "ol", "li", "table", "tr", "td", "th", "h1", "h2",
+    "h3", "h4", "h5", "h6", "blockquote", "pre", "form", "body", "html",
+    "head", "title", "script", "style", "br", "hr"
+  )
+
+  /** Tags whose entire subtree is never content (dropped outright). */
+  private val DropTags: Set[String] = Set("script", "style", "head", "title")
+
+  /** Self-closing / void tags — never pushed on the stack. */
+  private val VoidTags: Set[String] = Set("br", "hr", "img", "meta", "link", "input")
+
+  sealed trait PayloadKind
+  case object Markup extends PayloadKind
+  case object Layout extends PayloadKind
+  case object ToolJson extends PayloadKind
+  case object Plain extends PayloadKind
+
+  /** Layout payloads start with this magic line (pseudo-PDF: "x y text"
+    * triples, reading-order recovery — reference analog is the positional
+    * span machinery of src/spacy_test.py:30-42). */
+  val LayoutMagic = "%PDFISH"
+
+  def kindOf(text: String, role: String): PayloadKind = {
+    if (text == null || text.isEmpty) Plain
+    else if (text.startsWith(LayoutMagic)) Layout
+    else if (text.charAt(0) == '{' && (role == "tool" || text.contains("\"result\""))) ToolJson
+    else if (text.indexOf('<') >= 0 && text.indexOf('>') >= 0) Markup
+    else Plain
+  }
+
+  /** Lex a payload into blocks. Dispatcher over payload kind. */
+  def lex(text: String, role: String): Seq[Block] = {
+    if (text == null) return Seq.empty
+    kindOf(text, role) match {
+      case Markup   => lexMarkup(text)
+      case Layout   => lexLayout(text)
+      case ToolJson => lexToolJson(text)
+      case Plain =>
+        if (text.isEmpty) Seq.empty
+        else Seq(Block("", "", text, 0, text.length, 0, 0, 0))
+    }
+  }
+
+  // ---------------------------------------------------------------- markup
+
+  /** Single-pass HTML-ish lexer. Text runs between block-level tags become
+    * blocks; inline tags contribute to nTags/nLinks/linkChars of the
+    * enclosing block. Entities (&amp; &lt; &gt; &quot; &#39; &nbsp;) are
+    * decoded in block text, while offsets still index the raw payload. */
+  def lexMarkup(s: String): Seq[Block] = {
+    val out = mutable.ArrayBuffer.empty[Block]
+    val stack = mutable.ArrayBuffer.empty[String] // open block tags
+    val sb = new java.lang.StringBuilder(64)
+    var blockStart = -1 // offset of first text char in current block
+    var blockEnd = -1 // offset after last text char
+    var nTags = 0
+    var nLinks = 0
+    var linkChars = 0
+    var linkDepth = 0 // inside <a> ?
+    var dropDepth = 0 // inside script/style/... ?
+    val n = s.length
+    var i = 0
+
+    def path: String = stack.mkString("/")
+    def curTag: String = if (stack.isEmpty) "" else stack(stack.size - 1)
+
+    def flush(): Unit = {
+      if (sb.length > 0) {
+        out += Block(curTag, path, sb.toString, blockStart, blockEnd, nTags, nLinks, linkChars)
+      }
+      sb.setLength(0); blockStart = -1; blockEnd = -1
+      nTags = 0; nLinks = 0; linkChars = 0
+    }
+
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        // parse tag
+        val close = i + 1 < n && s.charAt(i + 1) == '/'
+        var j = i + (if (close) 2 else 1)
+        val nameStart = j
+        while (j < n && (s.charAt(j).isLetterOrDigit)) j += 1
+        val name = s.substring(nameStart, j).toLowerCase
+        // scan to '>'
+        var k = j
+        while (k < n && s.charAt(k) != '>') k += 1
+        val selfClosed = k > i && s.charAt(k - 1) == '/'
+        val tagEnd = if (k < n) k + 1 else n
+
+        if (name.nonEmpty) {
+          if (BlockTags.contains(name)) {
+            flush()
+            if (DropTags.contains(name)) {
+              if (close) { if (dropDepth > 0) dropDepth -= 1 }
+              else if (!selfClosed && !VoidTags.contains(name)) dropDepth += 1
+            }
+            if (close) {
+              // pop up to matching tag (tolerant of mis-nesting)
+              val idx = stack.lastIndexOf(name)
+              if (idx >= 0) stack.remove(idx, stack.size - idx)
+            } else if (!selfClosed && !VoidTags.contains(name)) {
+              stack += name
+            }
+          } else {
+            // inline tag
+            if (dropDepth == 0) {
+              nTags += 1
+              if (name == "a") {
+                if (close) { if (linkDepth > 0) linkDepth -= 1 }
+                else { nLinks += 1; linkDepth += 1 }
+              }
+            }
+          }
+        }
+        i = tagEnd
+      } else if (c == '&' && dropDepth == 0) {
+        // entity decode
+        val semi = s.indexOf(';', i + 1)
+        val (decoded, adv) =
+          if (semi > i && semi - i <= 8) {
+            s.substring(i + 1, semi) match {
+              case "amp"  => ("&", semi + 1 - i)
+              case "lt"   => ("<", semi + 1 - i)
+              case "gt"   => (">", semi + 1 - i)
+              case "quot" => ("\"", semi + 1 - i)
+              case "#39"  => ("'", semi + 1 - i)
+              case "nbsp" => (" ", semi + 1 - i)
+              case _      => ("&", 1)
+            }
+          } else ("&", 1)
+        if (blockStart < 0) blockStart = i
+        sb.append(decoded)
+        if (linkDepth > 0) linkChars += decoded.length
+        i += adv
+        blockEnd = i
+      } else {
+        if (dropDepth == 0) {
+          if (blockStart < 0 && !c.isWhitespace) blockStart = i
+          if (blockStart >= 0) {
+            sb.append(c)
+            if (linkDepth > 0) linkChars += 1
+            if (!c.isWhitespace) blockEnd = i + 1
+          }
+        }
+        i += 1
+      }
+    }
+    flush()
+    // trim trailing whitespace that crept into sb after last non-ws char
+    out.map { b =>
+      val t = trimRight(b.text)
+      b.copy(text = t)
+    }.filter(_.text.nonEmpty).toSeq
+  }
+
+  private def trimRight(s: String): String = {
+    var e = s.length
+    while (e > 0 && s.charAt(e - 1).isWhitespace) e -= 1
+    s.substring(0, e)
+  }
+
+  // ---------------------------------------------------------------- layout
+
+  /** Pseudo-PDF layout payload:
+    * {{{
+    * %PDFISH
+    * <x> <y> <text...>
+    * }}}
+    * One block per line; reading order = sort by (y, x). Offsets point at the
+    * text portion of each raw line. */
+  def lexLayout(s: String): Seq[Block] = {
+    val out = mutable.ArrayBuffer.empty[(Int, Int, Block)]
+    var i = s.indexOf('\n')
+    if (i < 0) return Seq.empty
+    i += 1
+    val n = s.length
+    while (i < n) {
+      var eol = s.indexOf('\n', i)
+      if (eol < 0) eol = n
+      if (eol > i) {
+        val sp1 = s.indexOf(' ', i)
+        val sp2 = if (sp1 >= 0 && sp1 < eol) s.indexOf(' ', sp1 + 1) else -1
+        if (sp1 >= 0 && sp2 >= 0 && sp2 < eol) {
+          try {
+            val x = java.lang.Integer.parseInt(s.substring(i, sp1))
+            val y = java.lang.Integer.parseInt(s.substring(sp1 + 1, sp2))
+            val textStart = sp2 + 1
+            val text = s.substring(textStart, eol)
+            if (text.nonEmpty)
+              out += ((y, x, Block("line", "layout", text, textStart, eol, 0, 0, 0)))
+          } catch { case _: NumberFormatException => () }
+        }
+      }
+      i = eol + 1
+    }
+    out.sortBy(t => (t._1, t._2)).map(_._3).toSeq
+  }
+
+  // ---------------------------------------------------------------- tool json
+
+  /** Tool-call JSON payload: extract the string value of the "result" key.
+    * Minimal JSON string scanner with escape handling; offsets reference the
+    * raw (escaped) region inside the payload. */
+  def lexToolJson(s: String): Seq[Block] = {
+    val key = "\"result\""
+    val ki = s.indexOf(key)
+    if (ki < 0) return Seq(Block("", "", s, 0, s.length, 0, 0, 0))
+    var i = ki + key.length
+    val n = s.length
+    while (i < n && (s.charAt(i) == ' ' || s.charAt(i) == ':')) i += 1
+    if (i >= n || s.charAt(i) != '"') return Seq.empty
+    i += 1
+    val start = i
+    val sb = new java.lang.StringBuilder(n - i)
+    var done = false
+    while (i < n && !done) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < n) {
+        s.charAt(i + 1) match {
+          case '"'  => sb.append('"')
+          case '\\' => sb.append('\\')
+          case 'n'  => sb.append('\n')
+          case 't'  => sb.append('\t')
+          case 'r'  => sb.append('\r')
+          case '/'  => sb.append('/')
+          case o    => sb.append('\\').append(o)
+        }
+        i += 2
+      } else if (c == '"') { done = true }
+      else { sb.append(c); i += 1 }
+    }
+    if (sb.length == 0) Seq.empty
+    else Seq(Block("result", "tool", sb.toString, start, i, 0, 0, 0))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample stages whose Spark-side shape (schema, partitioning, batch
+  * signature) is real and tested while the media codec itself is STUBBED —
+  * this container ships no image/audio libraries, so the decode kernel is a
+  * deterministic fake clearly marked below. The reference's analog is the
+  * TIFF metadata scan + tesseract shell-out
+  * (reference: modules/image_ocr.py:11-36).
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every binary payload. */
+  final case class MediaMeta(kind: String, width: Int, height: Int,
+                             durationMs: Int, codec: String)
+  final case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
+
+  /** Deterministic synthetic media table: payload bytes derived from the id
+    * (no external data); stands in for `binaryFile` reads of real blobs. */
+  def synthetic(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val len = 64 + (id % 64).toInt
+      val bytes = Array.tabulate[Byte](len)(i => ((id * 31 + i * 7) % 251).toByte)
+      val kind = Seq("image", "audio", "video")((id % 3).toInt)
+      MediaRow(id, bytes, MediaMeta(kind, 640 + (id % 4).toInt * 160,
+        480, if (kind == "image") 0 else 1000 + (id % 9000).toInt, "fake"))
+    }.toDF()
+  }
+
+  /** S3-analog of `img_info` (modules/image_ocr.py:11-26): metadata
+    * distribution without touching payload bytes — column pruning means the
+    * binary column is never read from disk for this query. */
+  def metaDistribution(media: DataFrame): DataFrame =
+    media.select(col("meta.kind").as("kind"), col("meta.codec").as("codec"))
+      .groupBy("kind", "codec").count()
+
+  // ------------------------------------------------------------- decode stub
+
+  /** STUB DECODE KERNEL — deterministic fake standing in for a real image
+    * decoder (no codec libraries in this container). Real deployments swap
+    * `decodeBytes` for an actual decoder behind the same signature; the
+    * partitioning, batching and schema around it are the tested, real part.
+    * Output: fixed-size feature vector (here: byte histogram moments). */
+  def decodeBytes(payload: Array[Byte]): Array[Float] = {
+    // >>> fake: replace with e.g. ImageIO/ffmpeg bindings in production <<<
+    if (payload == null || payload.isEmpty) return Array.fill(8)(0f)
+    val hist = new Array[Int](8)
+    payload.foreach(b => hist((b & 0xFF) >> 5) += 1)
+    hist.map(h => h.toFloat / payload.length)
+  }
+
+  /** Feature-extraction stage: mapPartitions batch shape (the real thing a
+    * Pandas-UDF / mapInPandas port needs) — one decoder instance per
+    * partition, rows streamed through it. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds = media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      // per-partition decoder init would happen here (lazy val in closure)
+      it.map { case (id, bytes) => (id, decodeBytes(bytes)) }
+    }.toDF("media_id", "features")
+  }
+
+  /** Resize stage stub: metadata transform only (a real impl rewrites the
+    * payload); demonstrates typed struct surgery without exploding rows. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("meta", struct(
+      col("meta.kind").as("kind"), lit(w).as("width"), lit(h).as("height"),
+      col("meta.durationMs").as("durationMs"), col("meta.codec").as("codec")))
+
+  /** Frame-sample stage: every video row explodes into ceil(duration/stepMs)
+    * frame rows keyed (media_id, frame_idx) — the row-explosion shape a real
+    * frame sampler needs; frame payload is the stubbed decode output. */
+  def frameSample(media: DataFrame, stepMs: Int): DataFrame =
+    media.filter(col("meta.kind") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0),
+          greatest(ceil(col("meta.durationMs").cast("double") / stepMs).cast("int") - 1,
+            lit(0)))))
+      .select(col("media_id"), col("frame_idx"),
+        (col("frame_idx") * stepMs).as("frame_ts_ms"))
+}

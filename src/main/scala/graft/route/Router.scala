@@ -1,0 +1,60 @@
+package graft.route
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** §2.6 — iterative predicate routing, the reference's de-facto "query
+  * language": `src/doc_classification.py:356-474` peels 10 keyword-defined
+  * categories off the corpus SEQUENTIALLY, re-tokenizing the remainder after
+  * every peel (O(10 × corpus) passes). First-match-wins: a doc matched at
+  * stage k never reaches stage k+1.
+  *
+  * Spark re-expression (the flagship manual-plan-vs-Catalyst win,
+  * SURVEY.md §2.6): ONE pass — a `when` cascade over the token array whose
+  * order preserves first-match-wins, then a single projection. At 100 TB the
+  * 10 re-tokenizations the reference performs would each be a full corpus
+  * scan; here the whole routing is fused into one whole-stage-codegen'd
+  * narrow stage over one scan.
+  */
+object Router {
+
+  /** A routing rule: route label + conjunction of required tokens
+    * (reference predicates are conjunctions of `'kw' in doc` membership
+    * tests, e.g. 'reclamation' ∧ 'soil' ∧ 'plant' ∧ 'community',
+    * src/doc_classification.py:370-378). */
+  final case class Rule(route: String, allOf: Seq[String])
+
+  /** Default rule table for the synthetic corpus — same shape as the
+    * reference's 10 categories (src/doc_classification.py:356-474), with
+    * keywords drawn from the test corpus vocabulary. Order matters. */
+  val DefaultRules: Seq[Rule] = Seq(
+    Rule("scan_heavy", Seq("scan", "table")),
+    Rule("join_sort", Seq("join", "sort", "merge")),
+    Rule("windowed", Seq("window", "agg")),
+    Rule("streaming", Seq("stream", "batch")),
+    Rule("vectorized", Seq("vector", "column")),
+    Rule("hashing", Seq("hash", "key")),
+    Rule("grouped", Seq("group", "query")),
+    Rule("filtered", Seq("filter", "row")),
+    Rule("ordered", Seq("order", "part")),
+    Rule("misc_data", Seq("data", "value"))
+  )
+
+  /** Build the first-match-wins routing column over a token-array column. */
+  def routeColumn(tokens: Column, rules: Seq[Rule] = DefaultRules): Column = {
+    val start: Column = lit(null).cast("string")
+    val cascade = rules.foldLeft(Option.empty[Column]) { (acc, r) =>
+      val cond = r.allOf.map(kw => array_contains(tokens, kw)).reduce(_ && _)
+      acc match {
+        case None    => Some(when(cond, r.route))
+        case Some(c) => Some(c.when(cond, r.route))
+      }
+    }
+    cascade.map(_.otherwise("unrouted")).getOrElse(lit("unrouted"))
+  }
+
+  /** Route a corpus: adds a `route` column; one narrow projection. */
+  def route(df: DataFrame, tokensCol: String,
+            rules: Seq[Rule] = DefaultRules): DataFrame =
+    df.withColumn("route", routeColumn(col(tokensCol), rules))
+}

@@ -1,0 +1,98 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The scale module (SURVEY.md §7 item 8): conv_id hash bucketing, salted
+  * repartition for skewed conversations, AQE config, and the checkpointed
+  * per-partition lineage manifest that makes a failed 10^12-turn run
+  * resumable without recomputing completed buckets (north_rule).
+  *
+  * The reference has no equivalent — a failed run restarts from scratch and
+  * "resume" is a human moving files (reference: src/doc_classification.py:75-92).
+  */
+object Scale {
+
+  /** Number of hash buckets the output table is partitioned by. On a real
+    * cluster this is the Iceberg `bucket(N, conv_id)` transform; in the
+    * parquet fallback it is an explicit partition column. */
+  val DefaultBuckets = 64
+
+  def bucketCol(nBuckets: Int = DefaultBuckets) =
+    pmod(xxhash64(col("conv_id")), lit(nBuckets.toLong)).cast("int").as("bucket")
+
+  /** Salted repartition for skewed long conversations: per-turn stages are
+    * embarrassingly parallel, so rows of one huge conversation may be spread
+    * across `salts` partitions — `repartition(hash(conv_id, salt))` with
+    * salt = turn_idx mod salts. Downstream keyed writes re-group by bucket;
+    * stable ordering is restored by sorting on (conv_id, turn_idx) within
+    * the write, never assumed from partition order (SURVEY.md §1). */
+  def saltedRepartition(df: DataFrame, partitions: Int, salts: Int = 16): DataFrame =
+    df.repartition(partitions, col("conv_id"), pmod(col("turn_idx"), lit(salts)))
+
+  /** Session defaults for the engine: AQE on (coalesce + skew-join), sane
+    * local shuffle parallelism. */
+  def configure(b: SparkSession.Builder, cpus: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  // ---------------------------------------------------------------- manifest
+
+  /** Per-partition lineage manifest: a tiny parquet table
+    * (bucket int, rows long, completed_at string) recording finished output
+    * buckets. Idempotent resume = read manifest, skip completed buckets,
+    * overwrite-by-partition for the rest. Plain application logic, not
+    * planner surgery (SURVEY.md §4 conclusion). */
+  def completedBuckets(spark: SparkSession, manifestDir: String): Set[Int] = {
+    val fs = new java.io.File(manifestDir)
+    if (!fs.exists || fs.listFiles == null || fs.listFiles.isEmpty) Set.empty
+    else spark.read.parquet(manifestDir)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+  }
+
+  def recordBucket(spark: SparkSession, manifestDir: String, bucket: Int,
+                   rows: Long): Unit = {
+    import spark.implicits._
+    Seq((bucket, rows)).toDF("bucket", "rows")
+      .write.mode("append").parquet(manifestDir)
+  }
+
+  /** Resumable keyed write: bucket the result by hash(conv_id), drop buckets
+    * the manifest marks complete, and write every remaining bucket in ONE
+    * distributed job with dynamic partition overwrite (idempotent under
+    * retry — a re-run of a failed job rewrites exactly the unfinished
+    * buckets and leaves completed ones untouched). The bucket filter prunes
+    * at the source when the input is already bucket-partitioned, so a resume
+    * after k completed buckets rescans only (n−k)/n of the data. */
+  def resumableWrite(df: DataFrame, outDir: String, manifestDir: String,
+                     nBuckets: Int = DefaultBuckets): Long = {
+    val spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val done = completedBuckets(spark, manifestDir)
+    val withBucket = df.withColumn("bucket", bucketCol(nBuckets))
+    val remaining =
+      if (done.isEmpty) withBucket
+      else withBucket.filter(!col("bucket").isin(done.toSeq: _*))
+    // one job: shuffle-free write, grouped into bucket dirs; stable order
+    // restored inside each file, never assumed from partition order.
+    remaining
+      .repartition(col("bucket"))
+      .sortWithinPartitions("conv_id", "turn_idx")
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+    // record completions (counts read back from the written files — cheap
+    // metadata-only parquet count) and return total rows now present.
+    val writtenBuckets = (0 until nBuckets).filterNot(done)
+    writtenBuckets.foreach { bkt =>
+      val dir = new java.io.File(s"$outDir/bucket=$bkt")
+      if (dir.exists) {
+        val n = spark.read.parquet(dir.getPath).count()
+        recordBucket(spark, manifestDir, bkt, n)
+      }
+    }
+    spark.read.parquet(outDir).count()
+  }
+}

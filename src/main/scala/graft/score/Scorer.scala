@@ -1,0 +1,94 @@
+package graft.score
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** E4 — the lightweight neural block classifier: a logistic / one-hidden-
+  * layer MLP scorer over shingled token features, applied partition-parallel
+  * as broadcast-weight column math. Replaces the reference's model tier
+  * (LDA topic inference src/doc_classification.py:116-124, RandomForest
+  * src/supervised.py:142-146, keras autoencoder src/autoencoder.py:15-42)
+  * with no external ML runtime: weights are plain Scala arrays baked into
+  * the plan as literals (≡ broadcast — they ship once per executor inside
+  * the serialized plan), and the dot products are `aggregate`/`zip_with`
+  * expressions inside whole-stage codegen.
+  */
+object Scorer {
+
+  /** Feature vector for a text block, matching [[featureNames]] order.
+    * All features are cheap per-row column math (E2 densitometry). */
+  val featureNames: Seq[String] =
+    Seq("text_len_n", "link_density", "tag_density", "stop_ratio", "digit_ratio")
+
+  def features(text: Column, linkChars: Column, nTags: Column,
+               stops: Seq[String]): Column = {
+    val len = length(text)
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val stopArr = array(stops.map(lit): _*)
+    val digits = len - length(regexp_replace(text, "[0-9]", ""))
+    array(
+      least(len.cast("double") / 256.0, lit(1.0)),
+      linkChars.cast("double") / greatest(len, lit(1)),
+      nTags.cast("double") / greatest(len, lit(1)),
+      size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+        / greatest(size(toks), lit(1)),
+      digits.cast("double") / greatest(len, lit(1))
+    )
+  }
+
+  /** Logistic score: sigmoid(w·x + b) with literal weights. */
+  def logistic(featVec: Column, w: Seq[Double], b: Double): Column = {
+    val wArr = array(w.map(lit): _*)
+    val z = aggregate(zip_with(featVec, wArr, (x, wi) => x * wi),
+      lit(b), (acc, x) => acc + x)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** One-hidden-layer MLP: sigmoid(W2 · relu(W1·x + b1) + b2).
+    * W1: hidden × in (row-major Seq of rows). Still pure column math. */
+  def mlp(featVec: Column, w1: Seq[Seq[Double]], b1: Seq[Double],
+          w2: Seq[Double], b2: Double): Column = {
+    val hidden: Seq[Column] = w1.zip(b1).map { case (row, bias) =>
+      val rArr = array(row.map(lit): _*)
+      val z = aggregate(zip_with(featVec, rArr, (x, wi) => x * wi),
+        lit(bias), (acc, x) => acc + x)
+      greatest(z, lit(0.0)) // relu
+    }
+    val z2 = hidden.zip(w2).map { case (h, wi) => h * lit(wi) }
+      .foldLeft(lit(b2))(_ + _)
+    lit(1.0) / (lit(1.0) + exp(-z2))
+  }
+
+  /** Default content-vs-chrome logistic weights (fit offline on the fixture
+    * set — FIXTURES.md family 6; positive class = content). */
+  val DefaultW: Seq[Double] = Seq(2.0, -4.0, -3.0, 1.0, -1.5)
+  val DefaultB: Double = 0.25
+
+  /** M12 — per-label precision/recall/F1/support from (label, predicted)
+    * columns, as one aggregation (reference:
+    * precision_recall_fscore_support, src/supervised.py:149-157). */
+  def prfSupport(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val l = col(labelCol); val p = col(predCol)
+    val byLabel = df.groupBy(l.as("label")).agg(
+      count(lit(1)).as("support"),
+      sum(when(p === l, 1).otherwise(0)).as("tp"))
+    val byPred = df.groupBy(p.as("label")).agg(count(lit(1)).as("predicted"))
+    byLabel.join(byPred, Seq("label"), "full_outer")
+      .na.fill(0, Seq("support", "tp", "predicted"))
+      .withColumn("precision",
+        round(col("tp").cast("double") / greatest(col("predicted"), lit(1)), 6))
+      .withColumn("recall",
+        round(col("tp").cast("double") / greatest(col("support"), lit(1)), 6))
+      .withColumn("f1", round(
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(0.0), 6))
+      .select("label", "precision", "recall", "f1", "support")
+  }
+
+  /** M19 — confusion matrix as groupBy+pivot
+    * (reference: src/label_prop.py:84-85). */
+  def confusion(df: DataFrame, labelCol: String, predCol: String): DataFrame =
+    df.groupBy(col(labelCol).as("label"))
+      .pivot(predCol).count().na.fill(0)
+}

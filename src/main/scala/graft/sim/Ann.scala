@@ -1,0 +1,82 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * The reference computes probe-vs-corpus cosine similarity as a dense numpy
+  * row and argsorts it (reference: src/doc_classification.py:325-343,
+  * modules/k_means_approach.py:6). Re-expressed:
+  *
+  *  - [[cosine]] — normalized dot product as zip_with/aggregate column math
+  *    (no UDF, stays in codegen);
+  *  - [[bruteTopK]] — exact top-k per probe: broadcast the (small) probe set,
+  *    score every corpus row, window top-k. One scan, no corpus shuffle —
+  *    the 100 TB-safe baseline when probes are few;
+  *  - [[lshTopK]] — random-hyperplane LSH variant: corpus and probes bucket
+  *    by sign-pattern; only same-bucket pairs score. The bucket join is the
+  *    single shuffle and candidate counts drop by ~2^bits — the scale path
+  *    for many-probe workloads (IVF-style).
+  */
+object Ann {
+
+  /** dot(a,b) with element-wise double accumulation in array order —
+    * deterministic (no parallel reduction inside a row). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k neighbours for each probe id.
+    * `probes` must be small (broadcast). Ties break on corpus key asc. */
+  def bruteTopK(corpus: DataFrame, probes: DataFrame, key: String, vec: String,
+                k: Int): DataFrame = {
+    val c = corpus.select(col(key).as("c_key"), col(vec).as("c_vec"))
+    val p = probes.select(col(key).as("p_key"), col(vec).as("p_vec"))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("c_key") =!= col("p_key"))
+      .withColumn("cos", round(cosine(col("c_vec"), col("p_vec")), 6))
+    val w = Window.partitionBy(col("p_key"))
+      .orderBy(col("cos").desc, col("c_key").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("p_key"), col("c_key"), col("cos"), col("rk"))
+  }
+
+  /** Random-hyperplane sign bucket: `bits` pseudo-random hyperplanes, the
+    * sign of dot(v, h_i) contributes bit i. Hyperplane coefficients are
+    * deterministic arithmetic of (bit, dim) — no RNG, stable across runs. */
+  def hyperplaneBucket(vec: Column, dim: Int, bits: Int): Column = {
+    (0 until bits).map { b =>
+      // h_b[d] = ((b*dim + d) * 2654435761 mod 1024) - 512 : fixed pseudo-noise
+      val coef = (d: Int) => ((b.toLong * dim + d) * 2654435761L % 1024L - 512L).toDouble
+      val proj = (0 until dim).map(d => element_at(vec, d + 1).cast("double") * lit(coef(d)))
+        .reduce(_ + _)
+      when(proj > 0, shiftleft(lit(1), b)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN top-k: candidates = same-bucket pairs (plus probe's
+    * bucket only — recall traded for the 2^bits candidate reduction). */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, key: String, vec: String,
+              k: Int, dim: Int, bits: Int = 8): DataFrame = {
+    val c = corpus.select(col(key).as("c_key"), col(vec).as("c_vec"),
+      hyperplaneBucket(col(vec), dim, bits).as("bucket"))
+    val p = probes.select(col(key).as("p_key"), col(vec).as("p_vec"),
+      hyperplaneBucket(col(vec), dim, bits).as("bucket"))
+    val scored = c.join(p, Seq("bucket"))
+      .filter(col("c_key") =!= col("p_key"))
+      .withColumn("cos", round(cosine(col("c_vec"), col("p_vec")), 6))
+    val w = Window.partitionBy(col("p_key"))
+      .orderBy(col("cos").desc, col("c_key").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("p_key"), col("c_key"), col("cos"), col("rk"))
+  }
+}

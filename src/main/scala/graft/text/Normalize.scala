@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** P1–P8 — the per-document token normalization pipeline (SURVEY.md §2.2),
+  * re-expressed as a `Column => Column` library. The reference implements
+  * these as per-doc Python functions mapped over the corpus under an
+  * `mp.Pool` (reference: modules/main_corpus_processing.py:24-61,104-140);
+  * here every stage is a codegen'd built-in or higher-order function — one
+  * narrow projection, no shuffle, no UDF (north_star policy, SURVEY.md §2.9).
+  */
+object Normalize {
+
+  /** P1 — ASCII fold (reference: unidecode, main_corpus_processing.py:31).
+    * Deterministic small fold map for Latin-1/Latin-Extended accents via
+    * `translate` (codegen'd char map — exactly the semantics the fixture
+    * oracle pins; SURVEY.md §7 "hard parts" (a)). */
+  private val FoldFrom = "àáâãäåèéêëìíîïòóôõöùúûüçñýÿÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÇÑÝ"
+  private val FoldTo   = "aaaaaaeeeeiiiiooooouuuucnyyAAAAAAEEEEIIIIOOOOOUUUUCNY"
+  def asciiFold(c: Column): Column = translate(c, FoldFrom, FoldTo)
+
+  /** P2 — delete punctuation, digits and newlines (NO space inserted — the
+    * reference uses str.translate-delete, main_corpus_processing.py:34),
+    * then lowercase. */
+  def stripPunctDigits(c: Column): Column =
+    lower(regexp_replace(c, "[\\p{Punct}0-9\\n\\r]", ""))
+
+  /** P8 — whitespace tokenize (reference: .split(),
+    * modules/k_means_approach.py:62), dropping empty tokens that
+    * leading/trailing/double whitespace would produce. */
+  def tokenize(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** P5 — token length filter: keep 3 <= len < 15
+    * (reference: main_corpus_processing.py:43; sub-corpus variant drops the
+    * upper bound, sub_corpus_processing.py:44). */
+  def lengthFilter(tokens: Column, min: Int = 3, max: Int = 15): Column =
+    filter(tokens, t => length(t) >= min && length(t) < max)
+
+  /** P6 — triple-repeat filter: drop tokens containing any aaa…zzz run
+    * (reference: main_corpus_processing.py:46-47 scans all 26 triples; a
+    * backreference regex is the equivalent single pass). */
+  def tripleFilter(tokens: Column): Column =
+    filter(tokens, t => !t.rlike("([a-z])\\1\\1"))
+
+  /** P7 — stopword removal against a broadcast-literal stoplist
+    * (reference: gensim STOPWORDS ∪ NLTK ∪ domain list,
+    * main_corpus_processing.py:50-59). `array_except` also dedups — matching
+    * gensim's set semantics is NOT wanted here, so we use a per-element
+    * filter to preserve duplicates and order. */
+  def stopFilter(tokens: Column, stops: Seq[String]): Column = {
+    val stopArr = array(stops.map(lit): _*)
+    filter(tokens, t => !array_contains(stopArr, t))
+  }
+
+  /** P3/P4 — lemma lookup via a broadcast map literal
+    * (reference: spaCy lemmatization, main_corpus_processing.py:37-40; the
+    * fixture defines the lemma table, SURVEY.md P3). Tokens absent from the
+    * table pass through unchanged. */
+  def lemmaLookup(tokens: Column, lemmas: Map[String, String]): Column = {
+    if (lemmas.isEmpty) tokens
+    else {
+      val m = map(lemmas.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*)
+      transform(tokens, t => coalesce(element_at(m, t), t))
+    }
+  }
+
+  /** Default English-ish stoplist (small, deterministic — config, per
+    * SURVEY.md P7 "stoplist is config"). */
+  val DefaultStops: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for",
+    "on", "with", "as", "at", "by", "be", "this", "that", "are", "was")
+
+  /** The full P1→P7 chain as one composed column (token array out). */
+  def pipeline(text: Column,
+               stops: Seq[String] = DefaultStops,
+               lemmas: Map[String, String] = Map.empty): Column = {
+    val t0 = tokenize(stripPunctDigits(asciiFold(text)))
+    val t1 = lemmaLookup(t0, lemmas)
+    val t2 = lengthFilter(t1)
+    val t3 = tripleFilter(t2)
+    stopFilter(t3, stops)
+  }
+}

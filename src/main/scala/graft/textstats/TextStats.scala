@@ -1,0 +1,119 @@
+package graft.textstats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language ID, quality scoring, token counting, fingerprinting. All are
+  * narrow, UDF-free column pipelines — per-row math over one scan, so they
+  * compose with the extraction kernel without extra stages or shuffles.
+  */
+object TextStats {
+
+  /** Marker-token tables for the n-gram/stopword language-ID heuristic.
+    * Deterministic and tiny — broadcast as literals into codegen. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "zh" -> Seq("的", "是", "了", "在", "我")
+  )
+
+  /** Language-ID: count marker hits per language over the token array; the
+    * language with the max hit count wins, ties broken lexicographically;
+    * zero hits → "und". Expressed as aggregate() counts + greatest/when —
+    * fully codegen'd. */
+  def langId(tokens: Column): Column = {
+    val langs = LangMarkers.keys.toSeq.sorted
+    val hits: Seq[(String, Column)] = langs.map { l =>
+      val markers = array(LangMarkers(l).map(lit): _*)
+      l -> size(filter(tokens, t => array_contains(markers, t)))
+    }
+    val maxHits = greatest(hits.map(_._2): _*)
+    // lexicographic winner among argmax: first lang (sorted) whose count == max
+    val cascade = hits.foldLeft(Option.empty[Column]) { case (acc, (l, h)) =>
+      val cond = (h === maxHits) && (maxHits > 0)
+      acc match {
+        case None    => Some(when(cond, l))
+        case Some(c) => Some(c.when(cond, l))
+      }
+    }
+    cascade.get.otherwise("und")
+  }
+
+  /** Quality-score features over raw text (reference analog: the density
+    * pruning P5/P6 + no_below filters; re-usable as E2 block features):
+    * length, punctuation ratio, digit ratio, stopword ratio, mean token
+    * length. Returns a struct column. */
+  def qualityFeatures(text: Column, stops: Seq[String]): Column = {
+    val len = length(text)
+    val punct = len - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    val digits = len - length(regexp_replace(text, "[0-9]", ""))
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val stopArr = array(stops.map(lit): _*)
+    val stopHits = size(filter(toks, t => array_contains(stopArr, t)))
+    val nToks = size(toks)
+    struct(
+      len.as("n_chars"),
+      nToks.as("n_tokens"),
+      round(punct.cast("double") / greatest(len, lit(1)), 6).as("punct_ratio"),
+      round(digits.cast("double") / greatest(len, lit(1)), 6).as("digit_ratio"),
+      round(stopHits.cast("double") / greatest(nToks, lit(1)), 6).as("stop_ratio"),
+      round((len - nToks + 1).cast("double") / greatest(nToks, lit(1)), 6)
+        .as("mean_tok_len")
+    )
+  }
+
+  /** Scalar quality score in parts-per-million of [0,1]: linear blend of
+    * feature penalties — the "quality scoring" stage of a pretraining-data
+    * pipeline. Integer arithmetic throughout (scaled by 1e6, truncating
+    * division) so the score is bit-identical across engines and runs —
+    * float blends flip at rounding boundaries under different summation
+    * orders, which breaks hash-stable dedup/filter decisions downstream. */
+  def qualityScorePpm(text: Column, stops: Seq[String]): Column = {
+    val len = greatest(length(text), lit(1)).cast("long")
+    val punct = (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("long")
+    val digits = (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("long")
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val stopArr = array(stops.map(lit): _*)
+    val stopHits = size(filter(toks, t => array_contains(stopArr, t))).cast("long")
+    val nToks = greatest(size(toks), lit(1)).cast("long")
+    val raw = lit(500000L) +
+      floor(least(nToks, lit(64L)) * 300000L / 64L).cast("long") +
+      floor(stopHits * 200000L / nToks).cast("long") -
+      floor(punct * 500000L / len).cast("long") -
+      floor(digits * 500000L / len).cast("long")
+    greatest(lit(0L), least(lit(1000000L), raw))
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count: word-piece regex split — alpha runs, digit runs
+    * and single punctuation each count as one piece; long alpha runs count
+    * ceil(len/4) pieces (a cheap deterministic proxy for BPE merges). */
+  def bpeishTokenCount(text: Column): Column = {
+    val pieces = filter(split(text, "(?<=[^a-zA-Z0-9])|(?=[^a-zA-Z0-9])"),
+      t => length(trim(t)) > 0)
+    // each piece contributes ceil(len/4) for alpha runs, 1 otherwise
+    aggregate(pieces, lit(0),
+      (acc, p) => acc + when(p.rlike("^[a-zA-Z]+$"),
+        ceil(length(p).cast("double") / 4.0).cast("int")).otherwise(lit(1)))
+  }
+
+  /** Document fingerprint — 64-bit polynomial rolling hash over the
+    * normalized text's characters, as pure column math: fold the token array
+    * with aggregate(), combining per-token xxhash64 values with a
+    * multiplicative rolling step. Deterministic, order-sensitive (unlike a
+    * bag hash) — two docs differing only in word order fingerprint apart. */
+  def fingerprint(tokens: Column): Column =
+    aggregate(tokens, lit(1125899906842597L),
+      (acc, t) => acc * lit(31L) + xxhash64(t))
+
+  /** Exact content fingerprint usable in cross-engine oracles: md5 of the
+    * lowercased, whitespace-collapsed text. */
+  def md5Fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+}

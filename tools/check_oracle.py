@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (Spark result) and runs the
+matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB against views
+over <sfDir>/*.parquet, then compares: column names (sorted), row count,
+and values (rows sorted by all columns; floats exact — queries are
+expected to round in-engine).
+
+Dev tool only — the real gate is driver-side. Exit 0 iff all match.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    """Sort columns by name, then rows by stringified values."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = repr(v)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            o = con.execute(sql)
+            ocols = [d[0] for d in o.description]
+            orows = o.fetchall()
+            s = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            scols = [d[0] for d in s.description]
+            srows = s.fetchall()
+        except Exception as e:
+            failures.append((name, f"ERROR {e}"))
+            print(f"FAIL  {name}: {e}")
+            continue
+        oc, orr = canon(orows, ocols)
+        sc, srr = canon(srows, scols)
+        if oc != sc:
+            failures.append((name, f"schema {sc} != {oc}"))
+            print(f"FAIL  {name}: schema spark={sc} oracle={oc}")
+        elif len(orr) != len(srr):
+            failures.append((name, f"rows {len(srr)} != {len(orr)}"))
+            print(f"FAIL  {name}: rows spark={len(srr)} oracle={len(orr)}")
+        elif orr != srr:
+            diffs = [(a, b) for a, b in zip(srr, orr) if a != b][:3]
+            failures.append((name, f"values diff, e.g. {diffs[:1]}"))
+            print(f"FAIL  {name}: first diffs (spark vs oracle):")
+            for a, b in diffs:
+                print(f"      spark : {a}\n      oracle: {b}")
+        else:
+            print(f"OK    {name} ({len(srr)} rows)")
+    # rows-only queries (no oracle): just report counts
+    import os
+    for d in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, d)
+        if os.path.isdir(p) and d not in oracle:
+            try:
+                n = con.execute(
+                    f"SELECT count(*) FROM read_parquet('{p}/*.parquet')").fetchone()[0]
+                print(f"ROWS  {d} ({n} rows, no oracle)")
+            except Exception as e:
+                print(f"FAIL  {d}: unreadable: {e}")
+                failures.append((d, "unreadable"))
+    print(f"\n{len(oracle) - len(failures)}/{len(oracle)} oracle queries match")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
