@@ -68,15 +68,19 @@ object Dedup {
   // ------------------------------------------------------------ MinHash + LSH
 
   /** MinHash signature: numHashes values, hash_i(doc) = min over shingles of
-    * ((a_i * h + b_i) mod p), h = xxhash64(shingle) (64-bit, codegen'd).
-    * Pure column math — the signature is computed per row, no shuffle. */
+    * ((a_i * h + b_i) mod p), h = xxhash64(shingle) reduced mod p.
+    * p = 2^31 − 1 (Mersenne prime) keeps every product < 2^62 — no overflow
+    * under ANSI arithmetic. Pure column math: the signature is computed per
+    * row, no shuffle. */
+  private val MersenneP = 2147483647L // 2^31 - 1
+
   def minhashSignature(tokens: Column, k: Int, numHashes: Int): Column = {
-    val p = lit(2305843009213693951L) // 2^61 - 1
+    val p = lit(MersenneP)
     val sh = array_distinct(shingles(tokens, k))
     val hs = transform(sh, s => pmod(xxhash64(s), p))
     array((0 until numHashes).map { i =>
-      val a = lit(1000000007L * (i + 1) % 2305843009213693951L)
-      val b = lit(998244353L * (i * i + 1) % 2305843009213693951L)
+      val a = lit(1000000007L * (i + 1) % MersenneP)
+      val b = lit(998244353L * (i.toLong * i + 1) % MersenneP)
       array_min(transform(hs, h => pmod(h * a + b, p)))
     }: _*)
   }

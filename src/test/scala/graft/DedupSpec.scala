@@ -1,0 +1,68 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat again and again today"), // near dup of 0
+    (3L, "completely different content about spark catalyst optimizer rules engine")
+  ).toDF("doc_id", "text")
+    .withColumn("tokens", split(col("text"), " "))
+
+  test("exact dedup keeps the smallest key per fingerprint group") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out(0L) === true)
+    assert(out(1L) === false) // dup of 0, larger key
+    assert(out(2L) === true)
+    assert(out(3L) === true)
+  }
+
+  test("ngram jaccard finds the near-dup pair, not the unrelated one") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "tokens", k = 3, threshold = 0.5)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical
+    assert(pairs.contains((0L, 2L))) // one-word change
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash: identical docs estimate jaccard 1.0; near dup caught with narrow bands") {
+    // true jaccard(0,2) ≈ 8/14 ≈ 0.57 → per-band collision 0.57^rows; use
+    // 8 bands × 2 rows so detection probability is ~96% (deterministic here
+    // since the hash family is fixed).
+    val out = Dedup.minhashLsh(docs, "doc_id", "tokens", k = 3, numHashes = 16, bands = 8)
+    val m = out.select("key_a", "key_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(m((0L, 1L)) === 1.0)
+    assert(m.getOrElse((0L, 2L), 0.0) > 0.3) // near dup lands in ≥1 shared band
+    assert(!m.keySet.exists { case (a, b) => a == 3L || b == 3L } ||
+      m.filter { case ((a, b), _) => a == 3L || b == 3L }.values.forall(_ < 0.3))
+  }
+
+  test("simhash: identical docs at hamming 0, near dups within threshold") {
+    val out = Dedup.simhashDup(docs, "doc_id", "tokens", maxHamming = 12)
+      .select("key_a", "key_b", "hamming").as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(out((0L, 1L)) === 0)
+    assert(out.get((0L, 2L)).exists(_ <= 12))
+  }
+
+  test("embedding cosine near-dup") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingDup(vecs, "vec_id", "embedding", 0.9)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((0L, 1L)))
+  }
+}

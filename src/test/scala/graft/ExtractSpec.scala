@@ -1,0 +1,91 @@
+package graft
+
+import graft.core.Transcripts
+import graft.extract.Extract
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end extraction equality (FIXTURES.md families 1–2, 8, 10):
+  * per-turn text equality under stable (conv_id, turn_idx) ordering —
+  * BASELINE.json:north_rule. */
+class ExtractSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("documents-derived corpus: extraction equals source text per turn") {
+    val dir = "/root/testdata/sf0.001"
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        concat(lit("c"), lpad((col("doc_id") % Transcripts.ConvFold)
+          .cast("string"), 4, "0")).as("conv_id"),
+        (col("doc_id") / Transcripts.ConvFold).cast("int").as("turn_idx"),
+        col("text").as("expected"))
+    val actual = Extract.pipeline(Transcripts.fromDocuments(spark, dir))
+    val joined = expected.join(actual, Seq("conv_id", "turn_idx"), "full_outer")
+    val bad = joined.filter(
+      col("text").isNull || col("expected").isNull ||
+        col("text") =!= col("expected"))
+    assert(bad.count() === 0, s"mismatched turns:\n${bad.take(3).mkString("\n")}")
+    assert(actual.count() === expected.count())
+  }
+
+  test("synthetic corpus roundtrips (all four payload shapes)") {
+    val turns = Transcripts.synthetic(spark, 400, turnsPerConv = 10)
+    val out = Extract.pipeline(turns.drop("doc_text"))
+    val joined = turns.select(col("conv_id"), col("turn_idx"),
+        col("doc_text").as("expected"))
+      .join(out, Seq("conv_id", "turn_idx"))
+    assert(joined.count() === 400)
+    val bad = joined.filter(col("text") =!= col("expected"))
+    assert(bad.count() === 0, s"${bad.take(3).mkString("\n")}")
+  }
+
+  test("spans index the original payload and cover the extracted text") {
+    val turns = Transcripts.synthetic(spark, 200, turnsPerConv = 10)
+    val out = Extract.pipeline(turns.drop("doc_text"))
+    // re-join raw payload, then verify substring(payload, span) participates
+    // in the extracted text for single-span shapes
+    val withRaw = out.join(
+      turns.select(col("conv_id"), col("turn_idx"), col("text").as("raw")),
+      Seq("conv_id", "turn_idx"))
+    val single = withRaw.filter(size(col("spans")) === 1)
+      .withColumn("cut", expr("substring(raw, spans[0].start + 1, spans[0].end - spans[0].start)"))
+    val bad = single.filter(col("cut") =!= col("text"))
+    assert(bad.count() === 0, s"${bad.take(3).mkString("\n")}")
+  }
+
+  test("order invariance: shuffled partitions give identical keyed output") {
+    val turns = Transcripts.synthetic(spark, 300, turnsPerConv = 10)
+    val a = Extract.pipeline(turns.drop("doc_text"))
+    val b = Extract.pipeline(
+      turns.drop("doc_text").repartition(7, col("role")).sortWithinPartitions("ts"))
+    assert(a.select("conv_id", "turn_idx", "text")
+      .exceptAll(b.select("conv_id", "turn_idx", "text")).count() === 0)
+    assert(b.select("conv_id", "turn_idx", "text")
+      .exceptAll(a.select("conv_id", "turn_idx", "text")).count() === 0)
+  }
+
+  test("quarantine reconciles: main ∪ quarantine = input keys") {
+    import spark.implicits._
+    val rows = Seq(
+      ("c1", 0, "user", "<p>content</p>", null.asInstanceOf[String], java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("c1", 1, "user", "<nav><a href=x>only chrome</a></nav>", null.asInstanceOf[String], java.sql.Timestamp.valueOf("2024-01-01 00:00:01")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val main = Extract.pipeline(rows).filter(col("text") =!= "")
+    val quar = Extract.quarantine(rows)
+    assert(main.count() === 1)
+    assert(quar.count() === 1)
+    assert(quar.select("reason").head().getString(0) === "no_content_blocks")
+  }
+
+  test("skewed corpus: one huge conversation, output equality holds") {
+    val skewed = Transcripts.synthetic(spark, 3000, turnsPerConv = 10, skewFactor = 100)
+    val out = Extract.pipeline(skewed.drop("doc_text"))
+    assert(out.count() === 3000)
+    // conversation 0 holds 100x the turns
+    val sizes = out.groupBy("conv_id").count()
+    assert(sizes.filter(col("conv_id") === "c00000000").head().getLong(1) === 1000L)
+    val joined = skewed.select(col("conv_id"), col("turn_idx"), col("doc_text"))
+      .join(out, Seq("conv_id", "turn_idx"))
+    assert(joined.filter(col("text") =!= col("doc_text")).count() === 0)
+  }
+}

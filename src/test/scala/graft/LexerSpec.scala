@@ -1,0 +1,99 @@
+package graft
+
+import graft.core.Block
+import graft.extract.Lexer
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator goldens for E1 (FIXTURES.md families 1–2): handwritten
+  * payloads with expected blocks, text, and char offsets. */
+class LexerSpec extends AnyFunSuite {
+
+  test("plain text is one block spanning the whole payload") {
+    val b = Lexer.lex("hello world", "user")
+    assert(b === Seq(Block("", "", "hello world", 0, 11, 0, 0, 0)))
+  }
+
+  test("markup: content div between nav and footer") {
+    val s = """<nav><a href="#">home</a></nav><div><p>real content here</p></div><footer>c</footer>"""
+    val blocks = Lexer.lexMarkup(s)
+    val content = blocks.find(_.text == "real content here").get
+    assert(content.path === "div/p")
+    assert(s.substring(content.start, content.end) === "real content here")
+    val nav = blocks.find(_.path.startsWith("nav")).get
+    assert(nav.text === "home")
+    assert(nav.nLinks === 1)
+    assert(nav.linkChars === 4)
+  }
+
+  test("entities decode in text but offsets index the raw payload") {
+    val s = "<p>a &amp; b</p>"
+    val blocks = Lexer.lexMarkup(s)
+    assert(blocks.head.text === "a & b")
+    assert(blocks.head.start === 3)
+    assert(blocks.head.end === 12) // position after 'b' in raw payload
+  }
+
+  test("script/style subtrees are dropped entirely") {
+    val s = "<p>keep</p><script>var x = 1;</script><p>also keep</p>"
+    val blocks = Lexer.lexMarkup(s)
+    assert(blocks.map(_.text) === Seq("keep", "also keep"))
+  }
+
+  test("inline tags do not split blocks; link chars counted") {
+    val s = "<p>pre <a href=x>link text</a> post</p>"
+    val blocks = Lexer.lexMarkup(s)
+    assert(blocks.size === 1)
+    assert(blocks.head.text === "pre link text post")
+    assert(blocks.head.nLinks === 1)
+    assert(blocks.head.linkChars === "link text".length)
+  }
+
+  test("mis-nested close tags are tolerated") {
+    val s = "<div><p>one</div>two"
+    val blocks = Lexer.lexMarkup(s)
+    assert(blocks.map(_.text) === Seq("one", "two"))
+    assert(blocks(1).path === "")
+  }
+
+  test("void tags (br/hr) close blocks but never nest") {
+    val s = "<p>alpha<br/>beta</p>"
+    val blocks = Lexer.lexMarkup(s)
+    assert(blocks.map(_.text) === Seq("alpha", "beta"))
+    assert(blocks.forall(!_.path.contains("br")))
+  }
+
+  test("layout: reading order is (y, x), offsets point at line text") {
+    val s = "%PDFISH\n10 20 second line\n10 10 first line\n30 20 third"
+    val blocks = Lexer.lexLayout(s)
+    assert(blocks.map(_.text) === Seq("first line", "second line", "third"))
+    blocks.foreach(b => assert(s.substring(b.start, b.end) === b.text))
+  }
+
+  test("layout: malformed lines are skipped") {
+    val s = "%PDFISH\nnot a layout line\n10 10 ok"
+    assert(Lexer.lexLayout(s).map(_.text) === Seq("ok"))
+  }
+
+  test("tool json: result extracted with escapes, offsets cover raw region") {
+    val s = """{"tool":"t","result":"a \"quoted\" value\nnext"}"""
+    val blocks = Lexer.lexToolJson(s)
+    assert(blocks.size === 1)
+    assert(blocks.head.text === "a \"quoted\" value\nnext")
+    assert(s.substring(blocks.head.start, blocks.head.end)
+      === """a \"quoted\" value\nnext""")
+  }
+
+  test("tool json without result key falls back to whole payload") {
+    val s = """{"tool":"t","status":"err"}"""
+    val blocks = Lexer.lexToolJson(s)
+    assert(blocks.head.text === s)
+  }
+
+  test("kind detection") {
+    assert(Lexer.kindOf("%PDFISH\n1 1 x", "user") === Lexer.Layout)
+    assert(Lexer.kindOf("""{"result":"x"}""", "user") === Lexer.ToolJson)
+    assert(Lexer.kindOf("""{"a":1}""", "tool") === Lexer.ToolJson)
+    assert(Lexer.kindOf("<p>x</p>", "user") === Lexer.Markup)
+    assert(Lexer.kindOf("plain", "user") === Lexer.Plain)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.text.Normalize
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FIXTURES.md family 3: normalization goldens against an in-test
+  * sequential Scala oracle that pins the reference semantics
+  * (fold → strip-delete → lower → lemma → len ∈ [3,15) → no triples →
+  * minus stoplist; modules/main_corpus_processing.py:24-61). */
+class NormalizeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** The spec oracle: plain sequential Scala, independent of Spark. */
+  def oracle(text: String, stops: Set[String], lemmas: Map[String, String]): Seq[String] = {
+    val foldMap = "àáâãäåèéêëìíîïòóôõöùúûüçñýÿ".zip("aaaaaaeeeeiiiiooooouuuucnyy").toMap ++
+      "ÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÇÑÝ".zip("AAAAAAEEEEIIIIOOOOOUUUUCNY").toMap
+    val folded = text.map(c => foldMap.getOrElse(c, c)).mkString
+    val stripped = folded.filterNot(c =>
+      ("""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""".contains(c)) || c.isDigit || c == '\n' || c == '\r')
+      .toLowerCase
+    stripped.split("\\s+").filter(_.nonEmpty).toSeq
+      .map(t => lemmas.getOrElse(t, t))
+      .filter(t => t.length >= 3 && t.length < 15)
+      .filterNot(t => ('a' to 'z').exists(c => t.contains(s"$c$c$c")))
+      .filterNot(stops)
+  }
+
+  val cases = Seq(
+    "Hello, World! 123 foo",
+    "the quick brown fox and a lazy dog",
+    "aaa bbb normal tripleaaainside ok",
+    "  multiple   spaces\nand newlines\r\n here",
+    "càfé naïve Ångström",                       // accents fold
+    "ab abc abcdefghijklmn abcdefghijklmno",     // length boundaries 2,3,14,15
+    "punct-uation: splits? no—it deletes!",
+    "")
+
+  test("pipeline matches the sequential oracle on golden cases") {
+    val stops = Normalize.DefaultStops
+    val lemmas = Map("dogs" -> "dog", "foxes" -> "fox")
+    val df = cases.toDF("text")
+      .withColumn("tokens", Normalize.pipeline(col("text"), stops, lemmas))
+    val got = df.select("tokens").as[Seq[String]].collect().toSeq
+    val want = cases.map(c => oracle(c, stops.toSet, lemmas))
+    got.zip(want).zip(cases).foreach { case ((g, w), c) =>
+      assert(g === w, s"case: '$c'")
+    }
+  }
+
+  test("strip deletes punctuation without inserting spaces (reference semantics)") {
+    val df = Seq("can't-stop").toDF("text")
+      .withColumn("t", Normalize.tokenize(Normalize.stripPunctDigits(col("text"))))
+    // delete semantics: can't-stop -> cantstop (ONE token), not can t stop
+    assert(df.select("t").as[Seq[String]].head() === Seq("cantstop"))
+  }
+
+  test("lemma lookup preserves duplicates and order") {
+    val df = Seq("dogs see dogs").toDF("text")
+      .withColumn("t", Normalize.lemmaLookup(
+        Normalize.tokenize(col("text")), Map("dogs" -> "dog")))
+    assert(df.select("t").as[Seq[String]].head() === Seq("dog", "see", "dog"))
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import graft.route.Router
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FIXTURES.md family 5: first-match-wins routing incl. overlap cases
+  * (reference semantics: sequential peels, src/doc_classification.py:356-474). */
+class RouterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("first-match-wins on overlapping predicates") {
+    val df = Seq(
+      (0L, Seq("scan", "table", "join", "sort", "merge")), // matches rule 1 AND 2 → rule 1
+      (1L, Seq("join", "sort", "merge")),                  // rule 2
+      (2L, Seq("join", "sort")),                           // conjunction incomplete → falls through
+      (3L, Seq("nothing", "matches")),                     // unrouted
+      (4L, Seq("data", "value", "scan"))                   // only last rule
+    ).toDF("doc_id", "tokens")
+    val got = Router.route(df, "tokens")
+      .select("doc_id", "route").as[(Long, String)].collect().toMap
+    assert(got(0L) === "scan_heavy")
+    assert(got(1L) === "join_sort")
+    assert(got(2L) === "unrouted")
+    assert(got(3L) === "unrouted")
+    assert(got(4L) === "misc_data")
+  }
+
+  test("routing is a single projection — no shuffle in the plan") {
+    val df = Seq((0L, Seq("scan", "table"))).toDF("doc_id", "tokens")
+    val plan = Router.route(df, "tokens").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.core.Transcripts
+import graft.extract.Extract
+import graft.scale.Scale
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** FIXTURES.md families 9 (resume/lineage) and 4 (skew): idempotent resume
+  * under partial failure, and salting bounds on skewed conversations. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("resumable write: partial manifest → identical final table, done buckets skipped") {
+    val tmp = Files.createTempDirectory("graft_resume").toString
+    val out1 = s"$tmp/full"; val man1 = s"$tmp/man_full"
+    val out2 = s"$tmp/resumed"; val man2 = s"$tmp/man_resumed"
+    val turns = Transcripts.synthetic(spark, 500, 10).drop("doc_text")
+    val result = Extract.pipeline(turns)
+
+    // straight-through run
+    val n1 = Scale.resumableWrite(result, out1, man1, nBuckets = 8)
+
+    // simulate a failed run that completed buckets {0,1,2}: pre-write those
+    // buckets and their manifest rows, then "resume"
+    val withBucket = result.withColumn("bucket", Scale.bucketCol(8))
+    withBucket.filter(col("bucket") < 3)
+      .write.mode("overwrite").partitionBy("bucket").parquet(out2)
+    (0 until 3).foreach { b =>
+      val n = spark.read.parquet(s"$out2/bucket=$b").count()
+      Scale.recordBucket(spark, man2, b, n)
+    }
+    val preDone = Scale.completedBuckets(spark, man2)
+    assert(preDone === Set(0, 1, 2))
+    val n2 = Scale.resumableWrite(result, out2, man2, nBuckets = 8)
+
+    assert(n1 === n2)
+    val a = spark.read.parquet(out1).select("conv_id", "turn_idx", "text")
+    val b = spark.read.parquet(out2).select("conv_id", "turn_idx", "text")
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+    // second resume is a no-op on buckets (all recorded)
+    assert(Scale.completedBuckets(spark, man2) === (0 until 8).toSet)
+  }
+
+  test("salted repartition spreads a skewed conversation across partitions") {
+    val skewed = Transcripts.synthetic(spark, 2000, 10, skewFactor = 100)
+      .drop("doc_text")
+    val salted = Scale.saltedRepartition(skewed, partitions = 8, salts = 8)
+    val sizes = salted.groupBy(spark_partition_id().as("pid"))
+      .count().select("count").collect().map(_.getLong(0))
+    val ratio = sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
+    // conversation 0 holds half the corpus; unsalted hash partitioning would
+    // put ≥50% of rows in one partition (ratio ≥ 4 of 8 partitions).
+    assert(ratio < 2.5, s"partition sizes too skewed: ${sizes.mkString(",")}")
+  }
+}
