@@ -225,6 +225,121 @@ object SparkEntry {
     "q21_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
 
+    // P9/P10/P11 — filename/label string surgery
+    "q22_string_ops" -> ((s, dir) => t(s, dir, "part").select(
+      col("p_partkey"),
+      element_at(split(col("p_name"), " "), -1).as("last_word"),
+      substring_index(col("p_brand"), "#", -1).cast("int").as("brand_num"),
+      lower(col("p_type")).as("type_lc"),
+      regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"))),
+
+    // M12 — per-label precision/recall/F1/support
+    "q23_prf" -> ((s, dir) => {
+      val df = t(s, dir, "embeddings").select(
+        col("label").cast("int").as("label"),
+        (col("vec_id") % 10).cast("int").as("pred"))
+      Scorer.prfSupport(df, "label", "pred")
+    }),
+
+    // M19 — confusion matrix (pivot)
+    "q24_confusion" -> ((s, dir) => {
+      val df = t(s, dir, "embeddings").select(
+        col("label").cast("int").as("label"),
+        (col("vec_id") % 10).cast("int").as("pred"))
+      df.groupBy("label").pivot("pred", (0 until 10).map(Integer.valueOf)).count()
+        .na.fill(0)
+        .select(col("label") +: (0 until 10).map(i => col(i.toString).as(s"p$i")): _*)
+    }),
+
+    // windowed time agg — tumbling hour buckets
+    "q25_events_hourly" -> ((s, dir) => t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))),
+
+    // semi-structured props extraction (S11-ish: string payload mining)
+    "q26_events_props" -> ((s, dir) => t(s, dir, "events")
+      .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int"))
+      .groupBy(col("event_type"))
+      .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        count(when(col("k").isNotNull, 1)).as("n_k"))),
+
+    // T2/M9 — brute-force cosine top-k for a small probe set
+    "q27_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.bruteTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+    }),
+
+    // n-gram Jaccard near-dup pairs on a doc sample
+    "q28_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      Dedup.ngramJaccard(docs, "doc_id", "tokens", k = 3, threshold = 0.3)
+    }),
+
+    // MinHash signatures (md5-portable variant), exploded long form
+    "q29_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      docs.select(col("doc_id"),
+          posexplode(Dedup.minhashSignatureMd5(col("tokens"), 3, 8))
+            .as(Seq("h_idx", "minhash")))
+    }),
+
+    // M11 — deterministic hash-based stratified split (test fraction 3/10)
+    "q32_split" -> ((s, dir) => t(s, dir, "embeddings").select(
+      col("vec_id"), col("label").cast("int").as("label"),
+      (pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(10L)) < 3).as("is_test"))),
+
+    // T7 — deterministic sample (hash-ordered top-20; reservoir analog)
+    "q33_sample" -> ((s, dir) => t(s, dir, "orders")
+      .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+      .limit(20).select("o_orderkey", "o_custkey")),
+
+    // A10 — per-route token histogram (route × token rollup, top slice)
+    "q34_route_hist" -> ((s, dir) => {
+      val toksDf = docTokens(s, dir)
+      val routed = Router.route(toksDf, "tokens")
+      val long = routed.select(col("route"), explode(col("tokens")).as("token"))
+      long.groupBy("route", "token").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 10)
+    }),
+
+    // sessionization — gap > 600s opens a new session per user (exact
+    // integer microsecond math: truncating to seconds diverges at edges)
+    "q35_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // ts is TIMESTAMP_NTZ; cast is identity under the UTC session zone
+      val us = unix_micros(col("ts").cast("timestamp"))
+      t(s, dir, "events")
+        .withColumn("prev_us", lag(us, 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || (us - col("prev_us")) > 600000000L, 1)
+            .otherwise(0))
+        .withColumn("session_idx",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("event_id"), col("user_id"), col("session_idx"))
+    }),
+
+    // multimodal plumbing (synthetic media; rows-only checks)
+    "q36_media_meta" -> ((s, dir) =>
+      graft.multimodal.Multimodal.metaDistribution(
+        graft.multimodal.Multimodal.synthetic(s, 300))),
+    "q37_media_features" -> ((s, dir) =>
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.synthetic(s, 300))),
+    "q38_frame_sample" -> ((s, dir) =>
+      graft.multimodal.Multimodal.frameSample(
+        graft.multimodal.Multimodal.synthetic(s, 300), stepMs = 1000)),
+
+    // SimHash near-dup (xxhash64 — no cross-engine oracle; ScalaTest-pinned)
+    "q39_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      Dedup.simhashDup(docs, "doc_id", "tokens", maxHamming = 16)
+    }),
+
     // ---------------------------------------------------------- extraction
     // E1–E6 — THE FLAGSHIP: full extraction kernel over the documents-derived
     // transcript corpus; oracle = the original document text (per-turn text
@@ -437,6 +552,158 @@ object SparkEntry {
            SELECT fingerprint, min(doc_id) AS keeper FROM fp GROUP BY 1)
          SELECT doc_id, fingerprint, doc_id = keeper AS keep
          FROM fp JOIN keepers USING (fingerprint)""",
+
+    "q22_string_ops" ->
+      """SELECT p_partkey,
+           (string_split(p_name, ' '))[-1] AS last_word,
+           CAST(split_part(p_brand, '#', 2) AS INT) AS brand_num,
+           lower(p_type) AS type_lc,
+           regexp_extract(p_name, '^(\w+)', 1) AS first_word
+         FROM part""",
+
+    "q23_prf" ->
+      """WITH d AS (
+           SELECT CAST(label AS INT) AS label, CAST(vec_id % 10 AS INT) AS pred
+           FROM embeddings),
+         by_label AS (
+           SELECT label, CAST(count(*) AS BIGINT) AS support,
+             CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS tp
+           FROM d GROUP BY 1),
+         by_pred AS (
+           SELECT pred AS label, CAST(count(*) AS BIGINT) AS predicted
+           FROM d GROUP BY 1),
+         j AS (
+           SELECT coalesce(a.label, b.label) AS label,
+             coalesce(support, 0) AS support, coalesce(tp, 0) AS tp,
+             coalesce(predicted, 0) AS predicted
+           FROM by_label a FULL OUTER JOIN by_pred b ON a.label = b.label),
+         pr AS (
+           SELECT label, support,
+             round(CAST(tp AS DOUBLE) / greatest(predicted, 1), 6) AS precision,
+             round(CAST(tp AS DOUBLE) / greatest(support, 1), 6) AS recall
+           FROM j)
+         SELECT label, precision, recall,
+           round(CASE WHEN precision + recall > 0
+             THEN 2.0 * precision * recall / (precision + recall)
+             ELSE 0.0 END, 6) AS f1,
+           support
+         FROM pr""",
+
+    "q24_confusion" ->
+      ("""SELECT CAST(label AS INT) AS label, """ +
+        (0 until 10).map(i =>
+          s"CAST(sum(CASE WHEN vec_id % 10 = $i THEN 1 ELSE 0 END) AS BIGINT) AS p$i")
+          .mkString(", ") +
+        " FROM embeddings GROUP BY 1"),
+
+    "q25_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "q26_events_props" ->
+      """WITH e AS (
+           SELECT event_type,
+             CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS INT) AS k
+           FROM events)
+         SELECT event_type, min(k) AS min_k, max(k) AS max_k,
+           count(CASE WHEN k IS NOT NULL THEN 1 END) AS n_k
+         FROM e GROUP BY 1""",
+
+    "q27_ann_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         scored AS (
+           SELECT p.vec_id AS p_key, c.vec_id AS c_key,
+             round(list_dot_product(c.e, p.e)
+               / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(p.e, p.e))), 6) AS cos
+           FROM v c, v p
+           WHERE p.vec_id < 3 AND c.vec_id <> p.vec_id),
+         ranked AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY p_key
+             ORDER BY cos DESC, c_key ASC) AS INT) AS rk FROM scored)
+         SELECT p_key, c_key, cos, rk FROM ranked WHERE rk <= 5""",
+
+    "q28_jaccard" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE doc_id % 10 = 0),
+         sh AS (
+           SELECT doc_id AS k, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - 2, 1)),
+             i -> array_to_string(w[i:i+2], ' ')))) AS sh
+           FROM d),
+         sizes AS (SELECT k, count(*) AS sz FROM sh GROUP BY 1),
+         pairs AS (
+           SELECT a.k AS key_a, b.k AS key_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.k < b.k
+           GROUP BY 1, 2)
+         SELECT key_a, key_b,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON sa.k = key_a
+         JOIN sizes sb ON sb.k = key_b
+         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3""",
+
+    "q29_minhash" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE doc_id % 10 = 0),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - 2, 1)),
+             i -> array_to_string(w[i:i+2], ' ')))) AS sh
+           FROM d),
+         h AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 8))::BIGINT % 2147483647 AS hv
+           FROM sh),
+         hi AS (SELECT unnest(generate_series(0, 7)) AS h_idx)
+         SELECT doc_id, CAST(h_idx AS INT) AS h_idx,
+           min((hv * ((1000000007 * (h_idx + 1)) % 2147483647)
+                + ((998244353 * (h_idx * h_idx + 1)) % 2147483647)) % 2147483647) AS minhash
+         FROM h, hi GROUP BY 1, 2""",
+
+    "q32_split" ->
+      """SELECT vec_id, CAST(label AS INT) AS label,
+           ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT % 10 < 3 AS is_test
+         FROM embeddings""",
+
+    "q33_sample" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT 20""",
+
+    "q34_route_hist" ->
+      s"""WITH routed AS (
+            SELECT doc_id, $OracleTokens AS tokens, CASE
+              WHEN list_contains($OracleTokens, 'scan') AND list_contains($OracleTokens, 'table') THEN 'scan_heavy'
+              WHEN list_contains($OracleTokens, 'join') AND list_contains($OracleTokens, 'sort') AND list_contains($OracleTokens, 'merge') THEN 'join_sort'
+              WHEN list_contains($OracleTokens, 'window') AND list_contains($OracleTokens, 'agg') THEN 'windowed'
+              WHEN list_contains($OracleTokens, 'stream') AND list_contains($OracleTokens, 'batch') THEN 'streaming'
+              WHEN list_contains($OracleTokens, 'vector') AND list_contains($OracleTokens, 'column') THEN 'vectorized'
+              WHEN list_contains($OracleTokens, 'hash') AND list_contains($OracleTokens, 'key') THEN 'hashing'
+              WHEN list_contains($OracleTokens, 'group') AND list_contains($OracleTokens, 'query') THEN 'grouped'
+              WHEN list_contains($OracleTokens, 'filter') AND list_contains($OracleTokens, 'row') THEN 'filtered'
+              WHEN list_contains($OracleTokens, 'order') AND list_contains($OracleTokens, 'part') THEN 'ordered'
+              WHEN list_contains($OracleTokens, 'data') AND list_contains($OracleTokens, 'value') THEN 'misc_data'
+              ELSE 'unrouted' END AS route
+            FROM documents),
+          tok AS (SELECT route, unnest(tokens) AS token FROM routed)
+          SELECT route, token, count(*) AS cnt
+          FROM tok GROUP BY 1, 2 HAVING count(*) >= 10""",
+
+    "q35_sessionize" ->
+      """WITH e AS (
+           SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         f AS (
+           SELECT event_id, user_id, ts,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 600000000 THEN 1 ELSE 0 END AS new_sess
+           FROM e)
+         SELECT event_id, user_id,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         FROM f""",
 
     "q30_extract" ->
       s"""SELECT $OracleConvId AS conv_id, $OracleTurnIdx AS turn_idx, text

@@ -85,6 +85,21 @@ object Dedup {
     }: _*)
   }
 
+  /** md5-based MinHash variant: h = first 8 hex chars of md5(shingle) as a
+    * 32-bit int, reduced mod p. Slower than xxhash64 (no codegen'd digest)
+    * but portable across engines — used by the cross-engine oracle gate;
+    * the xxhash64 variant above is the production path. */
+  def minhashSignatureMd5(tokens: Column, k: Int, numHashes: Int): Column = {
+    val p = lit(MersenneP)
+    val sh = array_distinct(shingles(tokens, k))
+    val hs = transform(sh, s => pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), p))
+    array((0 until numHashes).map { i =>
+      val a = lit(1000000007L * (i + 1) % MersenneP)
+      val b = lit(998244353L * (i.toLong * i + 1) % MersenneP)
+      array_min(transform(hs, h => pmod(h * a + b, p)))
+    }: _*)
+  }
+
   /** MinHash+LSH near-dup candidates: band the signature (bands × rowsPerBand
     * = numHashes), bucket-join on (band_id, band_signature). One shuffle
     * keyed by band bucket; same-bucket pairs only. Returns candidate pairs
