@@ -340,6 +340,46 @@ object SparkEntry {
       Dedup.simhashDup(docs, "doc_id", "tokens", maxHamming = 16)
     }),
 
+    // Entry 4 — the wells data product chain (J1 semi → J2 broadcast join →
+    // A9 one-hot → A8 rollup → J3 dimension join) in ONE job
+    "q41_data_product" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val n = t(s, dir, "nation")
+      val observed = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      val enriched = o.join(broadcast(observed), o("o_custkey") === observed("c_custkey"))
+      enriched.groupBy(col("c_nationkey"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
+        .select(col("n_name"), col("n_f"), col("n_o"), col("n_p"), col("total"))
+    }),
+
+    // P12 — UTM→lat/lon enrichment (column math; pinned by UtmSpec oracle,
+    // no portable SQL oracle for the Snyder series)
+    "q42_utm" -> ((s, dir) => t(s, dir, "nation").select(
+      col("n_nationkey"),
+      graft.dims.Utm.toLatLon(
+        lit(350000.0) + col("n_nationkey") * 10000.0,
+        lit(4200000.0) + col("n_regionkey") * 50000.0, zone = 13).as("ll"))
+      .select(col("n_nationkey"),
+        round(col("ll.lat"), 6).as("lat"), round(col("ll.lon"), 6).as("lon"))),
+
+    // M3 — MLlib KMeans tier over embeddings (seeded; rows-only — clustering
+    // quality is pinned by KMeansSpec purity assertions)
+    "q40_kmeans" -> ((s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(s, dir, "embeddings")
+        .withColumn("features", array_to_vector(col("embedding")))
+      val model = new KMeans().setK(10).setSeed(1L).setMaxIter(10)
+        .setFeaturesCol("features").fit(emb)
+      model.transform(emb).select(col("vec_id"), col("label"),
+        col("prediction").as("cluster"))
+    }),
+
     // ---------------------------------------------------------- extraction
     // E1–E6 — THE FLAGSHIP: full extraction kernel over the documents-derived
     // transcript corpus; oracle = the original document text (per-turn text
@@ -704,6 +744,17 @@ object SparkEntry {
            CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
          FROM f""",
+
+    "q41_data_product" ->
+      """SELECT n_name,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1""",
 
     "q30_extract" ->
       s"""SELECT $OracleConvId AS conv_id, $OracleTurnIdx AS turn_idx, text

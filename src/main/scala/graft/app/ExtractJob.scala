@@ -1,0 +1,53 @@
+package graft.app
+
+import graft.extract.Extract
+import graft.scale.Scale
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** spark-submit entrypoint (SURVEY.md §7 item 9): read a transcripts table →
+  * extraction kernel → resumable keyed write, with observed metrics.
+  *
+  * Usage:
+  *   spark-submit --class graft.app.ExtractJob <jar> \
+  *     <inputPath> <outPath> <manifestPath> [nBuckets] [salts]
+  *
+  * Scale posture (north_rule): input is read as-is (at 10^12 turns this is
+  * an Iceberg table with bucket(conv_id) partitioning; here a parquet dir);
+  * the per-turn kernel is embarrassingly parallel after a salted
+  * repartition that breaks up skewed long conversations; the write is
+  * bucket-partitioned and manifest-guarded so a resumed run recomputes only
+  * unfinished buckets. Metrics come from `observe` (Spark-native, no
+  * driver-side collect).
+  */
+object ExtractJob {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: ExtractJob <inputPath> <outPath> <manifestPath> [nBuckets] [salts]")
+    val Array(in, out, manifest) = args.take(3)
+    val nBuckets = if (args.length > 3) args(3).toInt else Scale.DefaultBuckets
+    val salts = if (args.length > 4) args(4).toInt else 16
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Scale.configure(
+      SparkSession.builder().appName("graft-extract"), cpus)
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    val turns = spark.read.parquet(in)
+    val salted = Scale.saltedRepartition(
+      turns, partitions = cpus * 4, salts = salts)
+    val extracted = Extract.pipeline(salted)
+      .observe("extract_metrics",
+        count(lit(1)).as("turns_out"),
+        sum(when(col("text") === "", 1).otherwise(0)).as("empty_turns"),
+        sum(length(col("text"))).as("chars_out"))
+    val written = Scale.resumableWrite(extracted, out, manifest, nBuckets)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[extract-job] wrote $written%d turns in $secs%.1f s " +
+      f"(${written / secs}%.0f turns/sec) to $out")
+    spark.stop()
+  }
+}

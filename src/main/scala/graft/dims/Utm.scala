@@ -1,0 +1,85 @@
+package graft.dims
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** P12 — UTM → WGS84 lat/lon conversion as pure column math
+  * (reference: `utm.to_latlon(x, y, 13, 'S')` per row,
+  * src/doc_classification.py:643-646). Classic Snyder inverse transverse-
+  * Mercator series (public formulas, USGS Professional Paper 1395) —
+  * deterministic double arithmetic, fully codegen'd: no UDF, so a
+  * 10^9-row dimension enrichment stays a narrow projection.
+  */
+object Utm {
+  private val K0 = 0.9996
+  private val A = 6378137.0 // WGS84 semi-major
+  private val E2 = 0.00669437999014 // first eccentricity squared
+  private val Ep2 = E2 / (1 - E2) // second eccentricity squared
+  private val E1 = (1 - math.sqrt(1 - E2)) / (1 + math.sqrt(1 - E2))
+
+  /** Returns struct(lat, lon) in degrees. `northern` = hemisphere flag
+    * (the reference's zone letter 'S' is latitude band S = northern-ish
+    * band 13S in Colorado — i.e. northern hemisphere). */
+  def toLatLon(easting: Column, northing: Column, zone: Int,
+               northern: Boolean = true): Column = {
+    val x = easting - lit(500000.0)
+    val y = if (northern) northing else northing - lit(10000000.0)
+    val m = y / K0
+    val mu = m / (A * (1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256))
+    val phi1 = mu +
+      lit(3 * E1 / 2 - 27 * math.pow(E1, 3) / 32) * sin(mu * 2) +
+      lit(21 * E1 * E1 / 16 - 55 * math.pow(E1, 4) / 32) * sin(mu * 4) +
+      lit(151 * math.pow(E1, 3) / 96) * sin(mu * 6) +
+      lit(1097 * math.pow(E1, 4) / 512) * sin(mu * 8)
+    val sinPhi1 = sin(phi1); val cosPhi1 = cos(phi1); val tanPhi1 = tan(phi1)
+    val c1 = lit(Ep2) * cosPhi1 * cosPhi1
+    val t1 = tanPhi1 * tanPhi1
+    val n1 = lit(A) / sqrt(lit(1.0) - lit(E2) * sinPhi1 * sinPhi1)
+    val r1 = lit(A * (1 - E2)) / pow(lit(1.0) - lit(E2) * sinPhi1 * sinPhi1, 1.5)
+    val d = x / (n1 * K0)
+    val d2 = d * d; val d3 = d2 * d; val d4 = d3 * d; val d5 = d4 * d; val d6 = d5 * d
+    val lat = phi1 - (n1 * tanPhi1 / r1) * (
+      d2 / 2
+        - (lit(5.0) + lit(3.0) * t1 + lit(10.0) * c1 - lit(4.0) * c1 * c1
+           - lit(9.0) * Ep2) * d4 / 24
+        + (lit(61.0) + lit(90.0) * t1 + lit(298.0) * c1 + lit(45.0) * t1 * t1
+           - lit(252.0) * Ep2 - lit(3.0) * c1 * c1) * d6 / 720)
+    val lon0 = math.toRadians((zone - 1) * 6 - 180 + 3)
+    val lon = lit(lon0) + (
+      d - (lit(1.0) + lit(2.0) * t1 + c1) * d3 / 6
+        + (lit(5.0) - lit(2.0) * c1 + lit(28.0) * t1 - lit(3.0) * c1 * c1
+           + lit(8.0) * Ep2 + lit(24.0) * t1 * t1) * d5 / 120) / cosPhi1
+    struct(degrees(lat).as("lat"), degrees(lon).as("lon"))
+  }
+
+  /** Scalar reference implementation (the in-test oracle). */
+  def toLatLonScalar(easting: Double, northing: Double, zone: Int,
+                     northern: Boolean = true): (Double, Double) = {
+    val x = easting - 500000.0
+    val y = if (northern) northing else northing - 10000000.0
+    val m = y / K0
+    val mu = m / (A * (1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256))
+    val phi1 = mu +
+      (3 * E1 / 2 - 27 * math.pow(E1, 3) / 32) * math.sin(2 * mu) +
+      (21 * E1 * E1 / 16 - 55 * math.pow(E1, 4) / 32) * math.sin(4 * mu) +
+      (151 * math.pow(E1, 3) / 96) * math.sin(6 * mu) +
+      (1097 * math.pow(E1, 4) / 512) * math.sin(8 * mu)
+    val sinP = math.sin(phi1); val cosP = math.cos(phi1); val tanP = math.tan(phi1)
+    val c1 = Ep2 * cosP * cosP
+    val t1 = tanP * tanP
+    val n1 = A / math.sqrt(1 - E2 * sinP * sinP)
+    val r1 = A * (1 - E2) / math.pow(1 - E2 * sinP * sinP, 1.5)
+    val d = x / (n1 * K0)
+    val lat = phi1 - (n1 * tanP / r1) * (
+      d * d / 2
+        - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * Ep2) * math.pow(d, 4) / 24
+        + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * Ep2 - 3 * c1 * c1)
+          * math.pow(d, 6) / 720)
+    val lon0 = math.toRadians((zone - 1) * 6 - 180 + 3)
+    val lon = lon0 + (
+      d - (1 + 2 * t1 + c1) * math.pow(d, 3) / 6
+        + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * Ep2 + 24 * t1 * t1)
+          * math.pow(d, 5) / 120) / cosP
+    (math.toDegrees(lat), math.toDegrees(lon))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.tools
+
+import graft.extract.Extract
+import graft.scale.Scale
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev profiling main: stage-by-stage timing of the extraction kernel over a
+  * pre-materialized bench corpus. Not part of the driver contract. */
+object Profile {
+  def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val input = args.headOption.getOrElse("/tmp/graft_bench_input_200000")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Scale.configure(SparkSession.builder(), cpus)
+      .master(s"local[$cpus]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val turns = spark.read.parquet(input)
+    // warmup whole kernel once
+    time("warmup full")(Extract.pipeline(turns).agg(count(lit(1))).collect())
+
+    time("read+count")(turns.agg(count(lit(1)), sum(length(col("text")))).collect())
+    time("lex only")(Extract.lexed(turns)
+      .agg(sum(size(col("blocks")))).collect())
+    time("lex+classify")(Extract.classified(Extract.lexed(turns))
+      .agg(sum(size(col("blocks")))).collect())
+    time("full pipeline")(Extract.pipeline(turns)
+      .agg(count(lit(1)), sum(length(col("text")))).collect())
+    time("full pipeline 2nd")(Extract.pipeline(turns)
+      .agg(count(lit(1)), sum(length(col("text")))).collect())
+    spark.stop()
+  }
+}

@@ -1,0 +1,23 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.scale.Scale
+import org.apache.spark.sql.SparkSession
+
+/** Dev scratch: time one query repeatedly to separate plan-compile cost from
+  * execution cost. */
+object ProfileQ15 {
+  def main(args: Array[String]): Unit = {
+    val q = args.headOption.getOrElse("q15_bow")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = Scale.configure(SparkSession.builder(), 32)
+      .master("local[32]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, dir).count()
+      println(f"[q15prof] run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

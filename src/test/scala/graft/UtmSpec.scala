@@ -1,0 +1,39 @@
+package graft
+
+import graft.dims.Utm
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UtmSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("column math matches the scalar implementation exactly") {
+    val rows = Seq((500000.0, 4400000.0), (350000.0, 4000000.0),
+      (650000.0, 4500000.0), (500000.0, 0.0))
+    val df = rows.toDF("e", "n")
+      .withColumn("ll", Utm.toLatLon(col("e"), col("n"), zone = 13))
+      .select(col("e"), col("n"), col("ll.lat"), col("ll.lon"))
+      .as[(Double, Double, Double, Double)].collect()
+    df.foreach { case (e, n, lat, lon) =>
+      val (sl, so) = Utm.toLatLonScalar(e, n, 13)
+      assert(math.abs(lat - sl) < 1e-12 && math.abs(lon - so) < 1e-12)
+    }
+  }
+
+  test("known anchor: central meridian of zone 13 is -105 degrees") {
+    // easting 500000 sits on the central meridian: lon must be exactly -105
+    val (lat, lon) = Utm.toLatLonScalar(500000.0, 4400000.0, 13)
+    assert(math.abs(lon - (-105.0)) < 1e-9)
+    // northing 4400000 in zone 13 is Colorado-ish latitude (~39.7N)
+    assert(lat > 39.0 && lat < 40.5)
+  }
+
+  test("conversion plan is a narrow projection — no shuffle, no UDF") {
+    val df = Seq((500000.0, 4400000.0)).toDF("e", "n")
+      .withColumn("ll", Utm.toLatLon(col("e"), col("n"), 13))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+}
