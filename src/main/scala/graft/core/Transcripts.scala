@@ -107,12 +107,15 @@ object Transcripts {
         when(col("id") < lit(skewFactor.toLong * turnsPerConv), lit(0L))
           .otherwise((col("id") / turnsPerConv).cast("long"))
     val words = expr(
-      // 40 pseudo-words drawn from a 64-word id-seeded cycle; pure arithmetic,
-      // no RNG (Date/rand would break deterministic resume).
+      // 40 pseudo-words over a 65536-word id-seeded space; pure arithmetic,
+      // no RNG (Date/rand would break deterministic resume). The wide word
+      // space keeps parquet dictionary compression realistic — a 64-word
+      // vocabulary compressed 30:1 and made bench scans unrealistically
+      // tiny relative to the decoded work.
       """
       array_join(
         transform(sequence(0, 39),
-          i -> concat('w', cast(pmod(id * 2654435761 + i * 40503, 64) as string))),
+          i -> concat('w', hex(pmod(id * 2654435761 + i * 2246822519, 65536)))),
         ' ')
       """)
     base

@@ -42,15 +42,13 @@ object Extract {
     StructField("nLinks", IntegerType), StructField("linkChars", IntegerType))))
 
   /** Stage 1 (E1): attach the lexed block stream as a `blocks` column.
-    * Runs partition-parallel; no shuffle. */
-  def lexed(turns: DataFrame): DataFrame = {
-    val spark = turns.sparkSession
-    import spark.implicits._
-    // Typed map keeps Tungsten encoding end-to-end; the lexer itself is the
-    // only imperative kernel in the pipeline (cf. SURVEY.md §2.9 UDx policy).
-    val lexUdf = udf((text: String, role: String) => Lexer.lex(text, role))
-    turns.withColumn("blocks", lexUdf(col("text"), col("role")))
-  }
+    * Runs partition-parallel; no shuffle. Implemented as a native Catalyst
+    * expression ([[LexBlocksExpr]]) rather than a Scala UDF — the UDF's
+    * reflection-encoder boundary cost ~2× on the whole kernel (measured;
+    * cf. SURVEY.md §2.9 UDx policy: Expression beats UDF beats the rest). */
+  def lexed(turns: DataFrame): DataFrame =
+    turns.withColumn("blocks",
+      LexBlocksExpr.lexBlocks(col("text"), col("role")))
 
   /** Stage 2 (E2+E3): per-block densitometric features and label, computed
     * with higher-order functions only.

@@ -1,0 +1,72 @@
+package graft.extract
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** E1 as a native Catalyst expression: `lex_blocks(text, role)` →
+  * array<struct<tag,path,text,start,end,nTags,nLinks,linkChars>>.
+  *
+  * A Scala `udf` returning Seq[Block] pays the reflection-encoder round
+  * trip (external Row ↔ InternalRow) per block per turn; this expression
+  * builds `ArrayData` of `GenericInternalRow` directly — the same lexer
+  * kernel with none of the boundary cost. CodegenFallback is fine: the
+  * function body dwarfs one virtual call, and the surrounding projection
+  * stays inside whole-stage codegen.
+  */
+case class LexBlocksExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LexBlocksExpr.BlockArrayType
+  override def nullable: Boolean = false
+  override def prettyName: String = "lex_blocks"
+
+  override def eval(input: InternalRow): Any = {
+    val textAny = left.eval(input)
+    val roleAny = right.eval(input)
+    val text = if (textAny == null) null else textAny.toString
+    val role = if (roleAny == null) "" else roleAny.toString
+    val blocks = Lexer.lex(text, role)
+    val rows = new Array[Any](blocks.length)
+    var i = 0
+    while (i < blocks.length) {
+      val b = blocks(i)
+      rows(i) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(b.tag), UTF8String.fromString(b.path),
+        UTF8String.fromString(b.text), b.start, b.end,
+        b.nTags, b.nLinks, b.linkChars))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def nullSafeEval(t: Any, r: Any): Any =
+    throw new IllegalStateException("eval is overridden")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LexBlocksExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object LexBlocksExpr {
+  val BlockStructType: StructType = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("nTags", IntegerType, nullable = false),
+    StructField("nLinks", IntegerType, nullable = false),
+    StructField("linkChars", IntegerType, nullable = false)))
+  val BlockArrayType: ArrayType = ArrayType(BlockStructType, containsNull = false)
+
+  def lexBlocks(text: Column, role: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(LexBlocksExpr(
+      ColumnBridge.expression(text), ColumnBridge.expression(role)))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.tools
+
+import graft.core.Transcripts
+import graft.extract.Extract
+import graft.scale.Scale
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-efficiency experiment: full extraction kernel at several
+  * parallelism levels over the same pre-materialized corpus.
+  * usage: BenchScaling [nTurns] [levels csv] [runs] */
+object BenchScaling {
+  private def session(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    Scale.configure(SparkSession.builder().appName(s"scal-$cpus"), cpus)
+      .master(s"local[$cpus]").getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(4000000L)
+    val levels = (if (args.length > 1) args(1) else "8,32").split(",").map(_.toInt)
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val input = s"/tmp/graft_bench_input_$n"
+    if (!new java.io.File(s"$input/_SUCCESS").exists) {
+      val s = session(32); s.sparkContext.setLogLevel("ERROR")
+      Transcripts.synthetic(s, n, 20).drop("doc_text")
+        .repartition(256).write.mode("overwrite").parquet(input)
+      s.stop()
+    }
+    val results = levels.map { cpus =>
+      val (med, best) = MeasureExtract.inFreshJvm(input, n, cpus, runs)
+      println(f"[scaling] local[$cpus]: median $med%.0f best $best%.0f turns/sec (fresh JVM, $runs runs)")
+      cpus -> ((med, best))
+    }
+    results.toSeq.sliding(2).foreach {
+      case Seq((c1, (m1, b1)), (c2, (m2, b2))) =>
+        println(f"[scaling] efficiency local[$c1]->local[$c2]: " +
+          f"median ${m2 / (m1 * c2 / c1)}%.3f best ${b2 / (b1 * c2 / c1)}%.3f")
+      case _ => ()
+    }
+  }
+}

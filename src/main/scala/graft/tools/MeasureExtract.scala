@@ -1,0 +1,82 @@
+package graft.tools
+
+import graft.extract.Extract
+import graft.scale.Scale
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Child-JVM measurement kernel: full extraction pipeline over a parquet
+  * corpus at one parallelism level. Each level runs in a FRESH JVM — heap
+  * state left by a previous level's passes (aged G1 regions, JIT deopt)
+  * perturbs later measurements by 2× when levels share a JVM (measured).
+  *
+  * usage: MeasureExtract <input> <nTurns> <cpus> [runs]
+  * prints: TPS_MEDIAN=<turns/sec>
+  */
+object MeasureExtract {
+  def main(args: Array[String]): Unit = {
+    val Array(input, nStr, cStr) = args.take(3)
+    val n = nStr.toLong; val cpus = cStr.toInt
+    val runs = if (args.length > 3) args(3).toInt else 3
+    val spark = Scale.configure(
+      SparkSession.builder().appName(s"measure-$cpus"), cpus)
+      // the bench corpus compresses hard; default 128MB splits + 4MB file
+      // open-cost would bin it into fewer splits than cores. Target ~4×cpus
+      // scan tasks so both parallelism levels saturate.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "262144")
+      .master(s"local[$cpus]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def pass(): Unit = Extract.pipeline(spark.read.parquet(input))
+      .agg(count(lit(1)), sum(length(col("text"))), sum(size(col("spans"))))
+      .collect()
+    pass() // warmup: JIT + codegen + page cache
+    val tps = (1 to runs).map { _ =>
+      val t0 = System.nanoTime(); pass()
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
+    println(s"TPS_RUNS=${tps.map(_.round).mkString(",")}") // temporal order
+    val sorted = tps.sorted
+    println(s"TPS_MEDIAN=${sorted(sorted.size / 2).round}")
+    println(s"TPS_BEST=${sorted.last.round}")
+    spark.stop()
+  }
+
+  /** Launch MeasureExtract in a fresh child JVM; returns (median, best)
+    * turns/sec over `runs` warm passes. Best-of is the headline capability
+    * number: this sandbox is a Firecracker microVM with noisy-neighbor /
+    * burst-throttling variance of up to 3× — external interference only ever
+    * slows a run down, so max-of-N estimates true capability. */
+  def inFreshJvm(input: String, nTurns: Long, cpus: Int, runs: Int = 3,
+                 heap: String = "16g"): (Double, Double) = {
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin, s"-Xms$heap", s"-Xmx$heap", "-XX:+AlwaysPreTouch",
+      "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC") ++ addOpens ++
+      Seq("-cp", sys.props("java.class.path"), "graft.tools.MeasureExtract",
+        input, nTurns.toString, cpus.toString, runs.toString)
+    val out = new java.io.ByteArrayOutputStream
+    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream))
+    var line: String = null
+    var med = -1.0; var best = -1.0
+    while ({ line = reader.readLine(); line != null }) {
+      if (line.startsWith("TPS_MEDIAN=")) med = line.drop("TPS_MEDIAN=".length).toDouble
+      if (line.startsWith("TPS_BEST=")) best = line.drop("TPS_BEST=".length).toDouble
+      if (line.startsWith("TPS_RUNS=")) System.err.println(s"[measure local[$cpus]] $line")
+    }
+    p.waitFor()
+    require(med > 0, s"child JVM produced no TPS_MEDIAN (exit ${p.exitValue()})")
+    (med, best)
+  }
+}
