@@ -1,0 +1,40 @@
+package graft.streaming
+
+import graft.extract.Extract
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Streaming variant of the extraction kernel. The reference is batch-only
+  * (SURVEY.md §2.9: no streaming anywhere), and the north_rule's acceptance
+  * path is batch Iceberg → batch Iceberg — this module is the beyond-the-
+  * reference tier: because E1–E6 are stateless per-turn transforms, the
+  * SAME pipeline object runs under Structured Streaming unchanged; only the
+  * source/sink bindings differ. Late-data semantics come from a watermark
+  * on `ts`; per-conversation ordering is still by explicit key, never by
+  * arrival order.
+  */
+object StreamingExtract {
+
+  val turnSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+    StructField("role", StringType), StructField("text", StringType),
+    StructField("tool", StringType), StructField("ts", TimestampType)))
+
+  /** File-stream source → extraction kernel. Caller binds the sink. */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame =
+    Extract.pipeline(
+      spark.readStream.schema(turnSchema).parquet(dir))
+
+  /** Windowed extraction-rate metrics with a watermark — the streaming
+    * observability analog of the batch observe() counters. The extraction
+    * stages run inline on the stream (they preserve all input columns), so
+    * `ts` survives to the windowed aggregation; no stream-stream join. */
+  def extractionRate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val turns = spark.readStream.schema(turnSchema).parquet(dir)
+    Extract.extracted(Extract.classified(Extract.lexed(
+        turns.withWatermark("ts", "10 minutes"))))
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("turns"), sum(length(col("extracted"))).as("chars"))
+  }
+}

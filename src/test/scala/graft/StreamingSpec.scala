@@ -1,0 +1,46 @@
+package graft
+
+import graft.core.Transcripts
+import graft.extract.Extract
+import graft.streaming.StreamingExtract
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Streaming tier: the stateless extraction kernel must produce EXACTLY the
+  * batch result when driven through Structured Streaming (same input, same
+  * keys, same text) — per-turn equality is engine-mode invariant. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("streamed extraction equals batch extraction row-for-row") {
+    val tmp = Files.createTempDirectory("graft_stream").toString
+    val turns = Transcripts.synthetic(spark, 300, 10).drop("doc_text")
+    turns.write.mode("overwrite").parquet(s"$tmp/in")
+
+    val q = StreamingExtract.fromParquetDir(spark, s"$tmp/in")
+      .writeStream.format("memory").queryName("stream_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_out").select("conv_id", "turn_idx", "text")
+    val batch = Extract.pipeline(spark.read.parquet(s"$tmp/in"))
+      .select("conv_id", "turn_idx", "text")
+    assert(streamed.count() === 300)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("windowed extraction-rate aggregation with watermark runs") {
+    val tmp = Files.createTempDirectory("graft_stream_rate").toString
+    Transcripts.synthetic(spark, 200, 10).drop("doc_text")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val q = StreamingExtract.extractionRate(spark, s"$tmp/in")
+      .writeStream.format("memory").queryName("rate_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("rate_out")
+    assert(rows.agg(sum("turns")).head().getLong(0) === 200L)
+  }
+}
