@@ -115,7 +115,8 @@ object Transcripts {
       """
       array_join(
         transform(sequence(0, 39),
-          i -> concat('w', hex(pmod(id * 2654435761 + i * 2246822519, 65536)))),
+          i -> concat('w', translate(hex(pmod(id * 2654435761 + i * 2246822519, 65536)),
+                                     '0123456789', 'ghijklmnop'))),
         ' ')
       """)
     base

@@ -94,6 +94,64 @@ object Extract {
       .drop("content_blocks")
   }
 
+  /** E4 — refine the rule labels with the neural block scorer: a logistic
+    * model over densitometric features evaluated per block as broadcast-
+    * weight column math (graft.score.Scorer). The rule tier (E3) decides
+    * structurally-obvious chrome (nav/footer paths); the scorer arbitrates
+    * the rest by content statistics. Threshold 0.5 on sigmoid output.
+    * Pure higher-order-function math — still zero shuffles, still codegen. */
+  def scored(classifiedDf: DataFrame,
+             w: Seq[Double] = graft.score.Scorer.DefaultW,
+             b: Double = graft.score.Scorer.DefaultB): DataFrame = {
+    val wLit = w.map(x => s"${x}D").mkString("array(", ", ", ")")
+    classifiedDf.withColumn(
+      "blocks",
+      expr(s"""
+        transform(blocks, blk -> named_struct(
+          'tag', blk.tag, 'path', blk.path, 'text', blk.text,
+          'start', blk.start, 'end', blk.end,
+          'nTags', blk.nTags, 'nLinks', blk.nLinks, 'linkChars', blk.linkChars,
+          'text_len', blk.text_len, 'link_density', blk.link_density,
+          'tag_density', blk.tag_density,
+          'score', 1.0D / (1.0D + exp(-aggregate(
+             zip_with(
+               array(least(CAST(blk.text_len AS DOUBLE) / 256.0D, 1.0D),
+                     blk.link_density,
+                     blk.tag_density,
+                     CAST(size(filter(split(lower(blk.text), '\\\\s+'),
+                          t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+                       / greatest(size(filter(split(blk.text, '\\\\s+'), t -> length(t) > 0)), 1),
+                     CAST(length(blk.text) - length(regexp_replace(blk.text, '[0-9]', '')) AS DOUBLE)
+                       / greatest(blk.text_len, 1)),
+               $wLit, (x, wi) -> x * wi),
+             CAST($b AS DOUBLE), (acc, x) -> acc + x))),
+          'label', CASE
+            WHEN blk.path RLIKE '$ChromePathRe' THEN 'chrome'
+            WHEN blk.label = 'chrome' THEN 'chrome'
+            ELSE 'content' END))
+      """))
+  }
+
+  /** Let the E4 score arbitrate labels: structural chrome stays chrome; the
+    * rest is content iff sigmoid score > threshold. Separate stage because
+    * a named_struct field can't reference a sibling computed in the same
+    * transform. */
+  def relabelByScore(scoredDf: DataFrame, threshold: Double = 0.5): DataFrame =
+    scoredDf.withColumn(
+      "blocks",
+      expr(s"""
+        transform(blocks, blk -> named_struct(
+          'tag', blk.tag, 'path', blk.path, 'text', blk.text,
+          'start', blk.start, 'end', blk.end,
+          'nTags', blk.nTags, 'nLinks', blk.nLinks, 'linkChars', blk.linkChars,
+          'text_len', blk.text_len, 'link_density', blk.link_density,
+          'tag_density', blk.tag_density, 'score', blk.score,
+          'label', CASE
+            WHEN blk.path RLIKE '$ChromePathRe' THEN 'chrome'
+            WHEN blk.score > ${threshold}D THEN 'content'
+            ELSE 'chrome' END))
+      """))
+
   /** Full kernel: transcripts in → (conv_id, turn_idx, extracted, spans).
     * Quarantine semantics (reference: src/doc_classification.py:75-105 —
     * empty-BOW docs moved aside): rows whose payload yields zero content
@@ -101,6 +159,17 @@ object Extract {
     * main ∪ quarantine reconciles with the input (FIXTURES.md family 8). */
   def pipeline(turns: DataFrame): DataFrame =
     extracted(classified(lexed(turns)))
+      .select(col("conv_id"), col("turn_idx"),
+        col("extracted").as("text"), col("spans"))
+
+  /** Full kernel with the E4 neural arbiter in the loop:
+    * lex → densitometric features → logistic score → relabel → reassemble.
+    * Same output contract as [[pipeline]]. */
+  def scoredPipeline(turns: DataFrame,
+                     w: Seq[Double] = graft.score.Scorer.DefaultW,
+                     b: Double = graft.score.Scorer.DefaultB,
+                     threshold: Double = 0.5): DataFrame =
+    extracted(relabelByScore(scored(classified(lexed(turns)), w, b), threshold))
       .select(col("conv_id"), col("turn_idx"),
         col("extracted").as("text"), col("spans"))
 
