@@ -1,0 +1,64 @@
+package graft
+
+import graft.extract.Lexer
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** FIXTURES.md property tier: invariants of the extraction kernel that must
+  * hold for ALL inputs, not just goldens. Pure functions — no Spark. */
+object LexerProps extends Properties("Lexer") {
+
+  // visible-ASCII word without markup metacharacters
+  private val word: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).suchThat(_.nonEmpty)
+  private val sentence: Gen[String] =
+    Gen.nonEmptyListOf(word).map(_.mkString(" "))
+
+  property("plain text lexes to one block spanning the payload") =
+    forAll(sentence) { s =>
+      Lexer.lex(s, "user") == Seq(graft.core.Block("", "", s, 0, s.length, 0, 0, 0))
+    }
+
+  property("markup wrap roundtrips: content recovered byte-exactly") =
+    forAll(sentence) { s =>
+      val payload = s"""<nav><a href="#">x</a></nav><div><p>$s</p></div><footer>f</footer>"""
+      val blocks = Lexer.lexMarkup(payload)
+      val content = blocks.filter(b => !b.path.matches("(^|.*/)?(nav|footer)(/.*)?$"))
+      content.map(_.text).mkString(" ") == s
+    }
+
+  property("block offsets always index the raw payload within bounds") =
+    forAll(sentence) { s =>
+      val payload = s"""<div><p>$s</p><aside>a b</aside></div>"""
+      Lexer.lexMarkup(payload).forall(b =>
+        b.start >= 0 && b.end <= payload.length && b.start <= b.end)
+    }
+
+  property("markup block text matches the raw slice when no entities") =
+    forAll(sentence) { s =>
+      val payload = s"""<div><p>$s</p></div>"""
+      Lexer.lexMarkup(payload).forall(b =>
+        payload.substring(b.start, b.end) == b.text)
+    }
+
+  property("layout reassembly is reading-ordered regardless of line order") =
+    forAll(Gen.nonEmptyListOf(sentence).map(_.take(8))) { lines =>
+      val numbered = lines.zipWithIndex.map { case (t, i) => (10, (i + 1) * 10, t) }
+      val shuffled = numbered.reverse // worst-case disorder
+      val payload = Lexer.LayoutMagic + "\n" +
+        shuffled.map { case (x, y, t) => s"$x $y $t" }.mkString("\n")
+      Lexer.lexLayout(payload).map(_.text) == lines
+    }
+
+  property("tool json roundtrips arbitrary text through escaping") =
+    forAll(sentence) { s =>
+      val escaped = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val payload = s"""{"tool":"t","result":"$escaped"}"""
+      Lexer.lexToolJson(payload).map(_.text) == Seq(s)
+    }
+
+  property("lex is total: never throws on arbitrary strings") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      Prop(try { Lexer.lex(s, "user"); true } catch { case _: Throwable => false })
+    }
+}
