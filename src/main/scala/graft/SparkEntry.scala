@@ -21,9 +21,12 @@ import graft.textstats.TextStats
   *
   * Column-name contract: every computed column is aliased identically in the
   * Spark plan and the oracle SQL — the driver sorts columns by name before
-  * hashing. Floating-point outputs are rounded in BOTH engines (round 6) so
-  * ULP-level accumulation-order differences can't flip the hash; money sums
-  * go through DECIMAL(18,2) for exactness.
+  * hashing. Floating-point outputs are rounded in BOTH engines so ULP-level
+  * accumulation-order differences can't flip the hash; money columns are
+  * `round(x, 2)` DOUBLE in both engines (NOT DECIMAL — trailing-zero cents
+  * render differently between Spark DECIMAL and the driver's float64 path,
+  * diagnosed round 1), and DuckDB `sum(CASE…)` counts are CAST to BIGINT
+  * (DuckDB sums integers into HUGEINT, which hash-mismatches Spark's LONG).
   */
 object SparkEntry {
 
@@ -73,19 +76,20 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------------------------------------------------- relational
-    // A1/A8 — grouped sums/counts (hash agg, partial+final; money through
-    // DECIMAL for cross-engine exactness).
+    // A1/A8 — grouped sums/counts (hash agg, partial+final; money rounded to
+    // 2dp DOUBLE in both engines — the true sum is an exact multiple of 0.01,
+    // so a ±1e-7 accumulation-order wobble can't cross a rounding boundary).
     "q01_agg_sums" -> ((s, dir) => t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
         count(lit(1)).as("n"))),
 
     // A1 — distribution count (img_info analog, modules/image_ocr.py:16-24)
     "q02_event_counts" -> ((s, dir) => t(s, dir, "events")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))),
+        round(sum(col("value")), 2).as("sum_value"))),
 
     // J2/J3 — broadcast-hash equi joins: revenue per nation
     "q03_join_revenue" -> ((s, dir) => {
@@ -94,7 +98,7 @@ object SparkEntry {
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
           count(lit(1)).as("n_orders"))
     }),
 
@@ -120,7 +124,7 @@ object SparkEntry {
       t(s, dir, "orders").withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"),
-          col("o_totalprice").cast("decimal(18,2)").as("price"), col("rk"))
+          round(col("o_totalprice"), 2).as("price"), col("rk"))
     }),
 
     // T1 — argmax per key (per-doc top-topic analog): window row_number with
@@ -131,7 +135,7 @@ object SparkEntry {
       t(s, dir, "orders").withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("o_custkey"), col("o_orderkey").as("best_order"),
-          col("o_totalprice").cast("decimal(18,2)").as("best_price"))
+          round(col("o_totalprice"), 2).as("best_price"))
     }),
 
     // A9 — one-hot pivot (pd.get_dummies analog, src/doc_classification.py:609)
@@ -166,7 +170,7 @@ object SparkEntry {
     "q12_topk" -> ((s, dir) => t(s, dir, "orders")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
-      .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)").as("price"))),
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))),
 
     // ---------------------------------------------------------- text tier
     // P1–P8 — normalization pipeline, exploded to long form
@@ -255,7 +259,7 @@ object SparkEntry {
     "q25_events_hourly" -> ((s, dir) => t(s, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))),
+        round(sum(col("value")), 2).as("sum_value"))),
 
     // semi-structured props extraction (S11-ish: string payload mining)
     "q26_events_props" -> ((s, dir) => t(s, dir, "events")
@@ -270,11 +274,14 @@ object SparkEntry {
       Ann.bruteTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
     }),
 
-    // n-gram Jaccard near-dup pairs on a doc sample
+    // n-gram Jaccard near-dup pairs on a doc sample. The df cap (the 100 TB
+    // hot-shingle guard) is wired through to the driver gate: the oracle
+    // applies the identical cap, so the scale path is what's checked.
     "q28_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), split(col("text"), " ").as("tokens"))
-      Dedup.ngramJaccard(docs, "doc_id", "tokens", k = 3, threshold = 0.3)
+      Dedup.ngramJaccard(docs, "doc_id", "tokens", k = 3, threshold = 0.3,
+        maxShingleDf = 20)
     }),
 
     // MinHash signatures (md5-portable variant), exploded long form
@@ -322,22 +329,39 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("session_idx"))
     }),
 
-    // multimodal plumbing (synthetic media; rows-only checks)
+    // multimodal plumbing over the deterministic synthetic media table —
+    // payloads are pure id-arithmetic, so DuckDB replays them and all three
+    // queries are oracle-checked (round-1 gap: rows-only / checker crash).
     "q36_media_meta" -> ((s, dir) =>
       graft.multimodal.Multimodal.metaDistribution(
         graft.multimodal.Multimodal.synthetic(s, 300))),
-    "q37_media_features" -> ((s, dir) =>
-      graft.multimodal.Multimodal.extractFeatures(
-        graft.multimodal.Multimodal.synthetic(s, 300))),
+    // features are Array[Float]; the driver's pandas checker can't hash
+    // arrays (round-1 q37 crash), so the checked projection is scalar:
+    // posexplode + integer histogram-count recovery (round(value·n_bytes) is
+    // exact — counts ≤ 127 and float error ≪ 0.5).
+    "q37_media_features" -> ((s, dir) => {
+      val m = graft.multimodal.Multimodal.synthetic(s, 300)
+      val lens = m.select(col("media_id"), length(col("payload")).as("n_bytes"))
+      graft.multimodal.Multimodal.extractFeatures(m)
+        .select(col("media_id"), posexplode(col("features")).as(Seq("feat_idx", "value")))
+        .join(broadcast(lens), Seq("media_id"))
+        .select(col("media_id"), col("feat_idx"),
+          round(col("value").cast("double") * col("n_bytes")).cast("long").as("hist_count"),
+          col("n_bytes"))
+    }),
     "q38_frame_sample" -> ((s, dir) =>
       graft.multimodal.Multimodal.frameSample(
         graft.multimodal.Multimodal.synthetic(s, 300), stepMs = 1000)),
 
-    // SimHash near-dup (xxhash64 — no cross-engine oracle; ScalaTest-pinned)
+    // SimHash near-dup — md5-portable 32-bit signature so DuckDB replays it;
+    // maxHamming=3 < bands=4 makes the banded join pigeonhole-EXACT, i.e.
+    // identical to the oracle's all-pairs scan (round-1 bug: radius 16 over
+    // 4 bands silently lost pairs at distance 4..16). The xxhash64 64-bit
+    // production path is pinned by DedupSpec.
     "q39_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), split(col("text"), " ").as("tokens"))
-      Dedup.simhashDup(docs, "doc_id", "tokens", maxHamming = 16)
+      Dedup.simhashDupMd5(docs, "doc_id", "tokens", maxHamming = 3)
     }),
 
     // Entry 4 — the wells data product chain (J1 semi → J2 broadcast join →
@@ -352,7 +376,7 @@ object SparkEntry {
           sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
           sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
           sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+          round(sum(col("o_totalprice")), 2).as("total"))
         .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
         .select(col("n_name"), col("n_f"), col("n_o"), col("n_p"), col("total"))
     }),
@@ -415,19 +439,19 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_agg_sums" ->
       """SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
            count(*) AS n
          FROM lineitem GROUP BY 1, 2""",
 
     "q02_event_counts" ->
       """SELECT event_type, count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+           round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1""",
 
     "q03_join_revenue" ->
       """SELECT n_name,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+           round(sum(o_totalprice), 2) AS revenue,
            count(*) AS n_orders
          FROM orders
          JOIN customer ON o_custkey = c_custkey
@@ -443,23 +467,23 @@ object SparkEntry {
          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
 
     "q06_window_topn" ->
-      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, rk
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rk
          FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders)
          WHERE rk <= 3""",
 
     "q07_argmax" ->
       """SELECT o_custkey, o_orderkey AS best_order,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS best_price
+           round(o_totalprice, 2) AS best_price
          FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders)
          WHERE rk = 1""",
 
     "q08_pivot" ->
       """SELECT c_mktsegment,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
          FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""",
 
     "q09_distinct" ->
@@ -476,7 +500,7 @@ object SparkEntry {
          FROM lineitem GROUP BY 1""",
 
     "q12_topk" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
          FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
 
     "q13_tokens" ->
@@ -638,7 +662,7 @@ object SparkEntry {
 
     "q25_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+           round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
 
     "q26_events_props" ->
@@ -667,11 +691,15 @@ object SparkEntry {
       """WITH d AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents
            WHERE doc_id % 10 = 0),
-         sh AS (
+         sh_raw AS (
            SELECT doc_id AS k, unnest(list_distinct(list_transform(
              generate_series(1, greatest(len(w) - 2, 1)),
              i -> array_to_string(w[i:i+2], ' ')))) AS sh
            FROM d),
+         capped AS (
+           SELECT sh FROM (SELECT sh, count(*) AS c FROM sh_raw GROUP BY 1)
+           WHERE c <= 20),
+         sh AS (SELECT k, sh FROM sh_raw JOIN capped USING (sh)),
          sizes AS (SELECT k, count(*) AS sz FROM sh GROUP BY 1),
          pairs AS (
            SELECT a.k AS key_a, b.k AS key_b, count(*) AS inter
@@ -750,11 +778,73 @@ object SparkEntry {
            CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
            CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
            CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           round(sum(o_totalprice), 2) AS total
          FROM orders
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY 1""",
+
+    // ---- multimodal: DuckDB replays the synthetic generator (pure id
+    // arithmetic — Multimodal.synthetic: len = 64 + id%64, byte_i =
+    // (id*31 + i*7) % 251, bucket = byte >> 5; kind = id%3).
+    "q36_media_meta" ->
+      """SELECT CASE s % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           'fake' AS codec, count(*) AS count
+         FROM generate_series(0, 299) t(s) GROUP BY 1, 2""",
+
+    "q37_media_features" ->
+      """WITH m AS (
+           SELECT CAST(s AS BIGINT) AS media_id, CAST(64 + s % 64 AS INT) AS n_bytes
+           FROM generate_series(0, 299) t(s)),
+         cnt AS (
+           SELECT m.media_id,
+             CAST(((m.media_id * 31 + i.i * 7) % 251) // 32 AS INT) AS feat_idx,
+             count(*) AS c
+           FROM m JOIN generate_series(0, 126) i(i) ON i.i < m.n_bytes
+           GROUP BY 1, 2),
+         idx AS (SELECT CAST(s AS INT) AS feat_idx FROM generate_series(0, 7) t(s))
+         SELECT m.media_id, idx.feat_idx,
+           CAST(coalesce(cnt.c, 0) AS BIGINT) AS hist_count, m.n_bytes
+         FROM m CROSS JOIN idx
+         LEFT JOIN cnt ON cnt.media_id = m.media_id AND cnt.feat_idx = idx.feat_idx""",
+
+    "q38_frame_sample" ->
+      """WITH v AS (
+           SELECT CAST(s AS BIGINT) AS media_id, 1000 + s % 9000 AS dur
+           FROM generate_series(0, 299) t(s) WHERE s % 3 = 2)
+         SELECT media_id, CAST(f.f AS INT) AS frame_idx,
+           CAST(f.f * 1000 AS INT) AS frame_ts_ms
+         FROM v JOIN generate_series(0, 9) f(f)
+           ON f.f < CAST(ceil(dur / 1000.0) AS INT)""",
+
+    // ---- SimHash (md5-portable 32-bit variant; all-pairs scan is exact
+    // because maxHamming=3 < bands=4 makes the Spark-side banding lossless)
+    "q39_simhash" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE doc_id % 10 = 0),
+         tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+         h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM tok),
+         votes AS (
+           SELECT doc_id, b.b AS bit,
+             sum(CASE WHEN (hv >> CAST(b.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+           FROM h CROSS JOIN generate_series(0, 31) b(b) GROUP BY 1, 2),
+         sig AS (
+           SELECT doc_id, CAST(sum(CASE WHEN vote > 0
+             THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS sh
+           FROM votes GROUP BY 1)
+         SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
+
+    // ---- P12 UTM inverse (Snyder series restated step-by-step in SQL with
+    // JVM-folded constants; see Utm.oracleSql)
+    "q42_utm" -> graft.dims.Utm.oracleSql(
+      from = "nation", keyExpr = "n_nationkey",
+      easting = "350000.0 + n_nationkey * 10000.0",
+      northing = "4200000.0 + n_regionkey * 50000.0", zone = 13),
 
     "q30_extract" ->
       s"""SELECT $OracleConvId AS conv_id, $OracleTurnIdx AS turn_idx, text

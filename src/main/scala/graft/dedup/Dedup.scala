@@ -45,11 +45,28 @@ object Dedup {
   /** n-gram Jaccard near-dup: candidate pairs share ≥1 shingle (inverted-
     * index self-join — never the full cross product), similarity =
     * |∩| / (|A| + |B| − |∩|) over DISTINCT shingle sets. Returns pairs with
-    * jaccard ≥ threshold, key_a < key_b. */
+    * jaccard ≥ threshold, key_a < key_b.
+    *
+    * `maxShingleDf` caps the document frequency of shingles admitted to the
+    * comparison space: a stop-shingle present in most docs otherwise creates
+    * a near-cartesian hot key in the self-join (a shingle in d docs yields
+    * d² candidate rows — the round-1 scale-killer). The cap is a SEMANTIC
+    * parameter, not a sampling trick: both sizes and intersections are
+    * computed over the capped shingle space, so jaccard-over-capped-space is
+    * exact and oracle-replayable. 0 disables the cap. */
   def ngramJaccard(df: DataFrame, key: String, tokens: String, k: Int,
-                   threshold: Double): DataFrame = {
-    val sh = df
+                   threshold: Double, maxShingleDf: Long = 0): DataFrame = {
+    val shRaw = df
       .select(col(key).as("k"), explode(array_distinct(shingles(col(tokens), k))).as("sh"))
+    val sh =
+      if (maxShingleDf <= 0) shRaw
+      else {
+        // one extra small aggregation keyed by shingle (partial agg applies);
+        // the join back is on the same key, so the exchange is reused.
+        val dfStats = shRaw.groupBy("sh").agg(count(lit(1)).as("sh_df"))
+          .filter(col("sh_df") <= maxShingleDf).select("sh")
+        shRaw.join(dfStats, Seq("sh"), "left_semi")
+      }
     val sizes = sh.groupBy("k").agg(count(lit(1)).as("sz"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.k") < col("b.k"))
@@ -103,17 +120,33 @@ object Dedup {
   /** MinHash+LSH near-dup candidates: band the signature (bands × rowsPerBand
     * = numHashes), bucket-join on (band_id, band_signature). One shuffle
     * keyed by band bucket; same-bucket pairs only. Returns candidate pairs
-    * with their estimated Jaccard (fraction of matching signature slots). */
+    * with their estimated Jaccard (fraction of matching signature slots).
+    *
+    * `maxBucket` caps bucket population: a bucket of b docs makes b²/2
+    * candidate pairs, so one degenerate bucket (e.g. the empty-shingle
+    * signature of trivial docs) can dominate the join at scale. Buckets
+    * larger than the cap are dropped from candidate generation — a standard,
+    * documented recall trade (members of a giant bucket are near-identical
+    * boilerplate and surface via exact dedup instead). 0 disables. */
   def minhashLsh(df: DataFrame, key: String, tokens: String, k: Int = 3,
-                 numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                 numHashes: Int = 16, bands: Int = 4,
+                 maxBucket: Long = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = df.select(col(key).as("k"),
       minhashSignature(col(tokens), k, numHashes).as("sig"))
-    val banded = sig.select(col("k"), col("sig"),
+    val bandedAll = sig.select(col("k"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
           x => x.cast("string")), ":"))).as(Seq("band", "bucket")))
+    val banded =
+      if (maxBucket <= 0) bandedAll
+      else {
+        val small = bandedAll.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("pop"))
+          .filter(col("pop") <= maxBucket).select("band", "bucket")
+        bandedAll.join(small, Seq("band", "bucket"), "left_semi")
+      }
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.k") < col("b.k"))
@@ -129,29 +162,59 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over the token array: per-bit majority vote of token
-    * xxhash64 values, columnar (bit ops inside aggregate()). */
-  def simhash(tokens: Column): Column = {
-    val hs = transform(tokens, t => xxhash64(t))
-    val votes = (0 until 64).map { bit =>
-      // sum over tokens of (+1 if bit set else -1)
-      aggregate(hs, lit(0),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
-    }
-    votes.zipWithIndex.map { case (v, bit) =>
-      when(v > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** Per-bit majority vote over an array of hash values, folded in ONE pass:
+    * the aggregate state is an array of `bits` signed counters (zip_with
+    * against the bit-index sequence), so the expression walks the token-hash
+    * array once instead of `bits` times (round-1 verdict: 64 independent
+    * aggregate() passes were O(64·tokens) per row). */
+  private def simhashFromHashes(hs: Column, bits: Int): Column = {
+    val bitIdx = sequence(lit(0), lit(bits - 1))
+    val zeros = transform(bitIdx, _ => lit(0L))
+    val votes = aggregate(hs, zeros, (acc, h) =>
+      zip_with(acc, bitIdx, (a, b) =>
+        a + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L)))
+    // disjoint bit masks OR-folded (never summed: bit 63 is Long.MinValue
+    // and an ANSI sum would overflow)
+    aggregate(
+      zip_with(votes, bitIdx, (v, b) =>
+        when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash near-dup: bucket on the 4 16-bit sub-keys (pigeonhole: Hamming
-    * distance ≤ 3 ⇒ some sub-key equal), join within buckets, verify true
-    * Hamming distance ≤ maxHamming. */
-  def simhashDup(df: DataFrame, key: String, tokens: String,
-                 maxHamming: Int = 3): DataFrame = {
-    val sh = df.select(col(key).as("k"), simhash(col(tokens)).as("sh"))
-    val banded = sh.select(col("k"), col("sh"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL)): _*))
+  /** 64-bit SimHash over the token array: per-bit majority vote of token
+    * xxhash64 values, columnar. Production path (fastest hash). */
+  def simhash(tokens: Column): Column =
+    simhashFromHashes(transform(tokens, t => xxhash64(t)), 64)
+
+  /** 32-bit SimHash over md5-derived token hashes — slower than xxhash64 but
+    * portable across engines, so the driver's DuckDB oracle can replay it
+    * bit-for-bit (same trick as [[minhashSignatureMd5]]). */
+  def simhash32Md5(tokens: Column): Column =
+    simhashFromHashes(
+      transform(tokens, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")),
+      32)
+
+  /** SimHash near-dup over a precomputed signature table (k, sh): bucket on
+    * `bands` equal-width sub-keys of the `bits`-bit signature, join within
+    * buckets, verify true Hamming distance.
+    *
+    * Recall guarantee is pigeonhole-exact ONLY for maxHamming < bands (≤
+    * bands−1 differing bits cannot touch every sub-key), hence the require —
+    * round 1 shipped maxHamming=16 over 4 bands, silently losing pairs at
+    * distance 4..16. Callers wanting a wider radius must raise `bands`
+    * (narrower sub-keys ⇒ more candidate pairs: bands=8 over 64 bits ⇒ 8-bit
+    * keys ⇒ ~n²/256 candidates per band at scale — price the radius). */
+  def simhashDupFromSig(sig: DataFrame, maxHamming: Int, bands: Int,
+                        bits: Int): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole recall guarantee needs maxHamming < bands ($maxHamming >= $bands)")
+    require(bits % bands == 0, "bands must divide bits")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val banded = sig.select(col("k"), col("sh"),
+      posexplode(array((0 until bands).map(i =>
+        shiftright(col("sh"), i * width).bitwiseAND(mask)): _*))
         .as(Seq("band", "bucket")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -163,6 +226,20 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("key_a", "key_b", "hamming")
   }
+
+  /** SimHash near-dup on 64-bit xxhash64 signatures (production path). */
+  def simhashDup(df: DataFrame, key: String, tokens: String,
+                 maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    simhashDupFromSig(
+      df.select(col(key).as("k"), simhash(col(tokens)).as("sh")),
+      maxHamming, bands, bits = 64)
+
+  /** SimHash near-dup on the 32-bit md5-portable signature (oracle path). */
+  def simhashDupMd5(df: DataFrame, key: String, tokens: String,
+                    maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    simhashDupFromSig(
+      df.select(col(key).as("k"), simhash32Md5(col(tokens)).as("sh")),
+      maxHamming, bands, bits = 32)
 
   // ------------------------------------------------------- embedding near-dup
 

@@ -52,6 +52,67 @@ object Utm {
     struct(degrees(lat).as("lat"), degrees(lon).as("lon"))
   }
 
+  /** DuckDB-SQL restatement of [[toLatLon]] for the driver's oracle gate:
+    * a WITH-chain whose per-step expressions mirror the column version's
+    * operation order EXACTLY (chained multiplications, same associativity),
+    * with every constant pre-folded by THIS JVM and interpolated as its
+    * shortest round-trip decimal — so both engines consume identical IEEE
+    * doubles and the only cross-engine wobble left is libm sin/cos/tan/pow,
+    * absorbed by round(…, 6). degrees() is spelled `x * 180.0 / π` because
+    * JVM Math.toDegrees computes (x*180)/π while DuckDB's degrees() may fold
+    * 180/π first — a 1-ULP trap.
+    *
+    * @param from     SQL FROM clause body (e.g. "nation")
+    * @param keyExpr  SQL select-list prefix (e.g. "n_nationkey")
+    * @param easting  SQL expression for the easting column
+    * @param northing SQL expression for the northing column */
+  def oracleSql(from: String, keyExpr: String, easting: String,
+                northing: String, zone: Int, northern: Boolean = true): String = {
+    val mDenom = A * (1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256)
+    val c2 = 3 * E1 / 2 - 27 * math.pow(E1, 3) / 32
+    val c4 = 21 * E1 * E1 / 16 - 55 * math.pow(E1, 4) / 32
+    val c6 = 151 * math.pow(E1, 3) / 96
+    val c8 = 1097 * math.pow(E1, 4) / 512
+    val aE2 = A * (1 - E2)
+    val lon0 = math.toRadians((zone - 1) * 6 - 180 + 3)
+    val pi = math.Pi
+    val yExpr = if (northern) northing else s"(($northing) - 10000000.0)"
+    s"""WITH u0 AS (
+         SELECT $keyExpr AS k, (($easting) - 500000.0) AS x,
+                ((($yExpr) / $K0) / $mDenom) AS mu
+         FROM $from),
+       u1 AS (SELECT *,
+                mu + $c2 * sin(mu * 2) + $c4 * sin(mu * 4)
+                   + $c6 * sin(mu * 6) + $c8 * sin(mu * 8) AS phi1
+              FROM u0),
+       u2 AS (SELECT *, sin(phi1) AS sp, cos(phi1) AS cp, tan(phi1) AS tp FROM u1),
+       u3 AS (SELECT *,
+                $Ep2 * cp * cp AS cc1, tp * tp AS t1,
+                $A / sqrt(1.0 - $E2 * sp * sp) AS n1,
+                $aE2 / pow(1.0 - $E2 * sp * sp, 1.5) AS r1
+              FROM u2),
+       u4 AS (SELECT *, x / (n1 * $K0) AS d FROM u3),
+       u5 AS (SELECT *, d * d AS d2, d * d * d AS d3, d * d * d * d AS d4,
+                d * d * d * d * d AS d5, d * d * d * d * d * d AS d6
+              FROM u4),
+       u6 AS (SELECT k,
+                (phi1 - (n1 * tp / r1) * (
+                   d2 / 2
+                   - (5.0 + 3.0 * t1 + 10.0 * cc1 - 4.0 * cc1 * cc1
+                      - 9.0 * $Ep2) * d4 / 24
+                   + (61.0 + 90.0 * t1 + 298.0 * cc1 + 45.0 * t1 * t1
+                      - 252.0 * $Ep2 - 3.0 * cc1 * cc1) * d6 / 720)) AS lat_rad,
+                ($lon0 + (
+                   d - (1.0 + 2.0 * t1 + cc1) * d3 / 6
+                   + (5.0 - 2.0 * cc1 + 28.0 * t1 - 3.0 * cc1 * cc1
+                      + 8.0 * $Ep2 + 24.0 * t1 * t1) * d5 / 120) / cp) AS lon_rad
+              FROM u5)
+       SELECT k AS $keyExpr,
+         round(lat_rad * 180.0 / $pi, 6) AS lat,
+         round(lon_rad * 180.0 / $pi, 6) AS lon
+       FROM u6"""
+  }
+
   /** Scalar reference implementation (the in-test oracle). */
   def toLatLonScalar(easting: Double, northing: Double, zone: Int,
                      northern: Boolean = true): (Double, Double) = {

@@ -48,11 +48,75 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash: identical docs at hamming 0, near dups within threshold") {
-    val out = Dedup.simhashDup(docs, "doc_id", "tokens", maxHamming = 12)
+    // radius 12 needs > 12 bands for the pigeonhole guarantee (64-bit sig,
+    // 16 bands of 4 bits)
+    val out = Dedup.simhashDup(docs, "doc_id", "tokens", maxHamming = 12, bands = 16)
       .select("key_a", "key_b", "hamming").as[(Long, Long, Int)].collect()
       .map { case (a, b, h) => (a, b) -> h }.toMap
     assert(out((0L, 1L)) === 0)
     assert(out.get((0L, 2L)).exists(_ <= 12))
+  }
+
+  test("simhash banded join equals the exact all-pairs scan at radius < bands") {
+    // pigeonhole recall property: for maxHamming < bands the bucketed join
+    // must find EXACTLY the pairs an all-pairs Hamming scan finds (round-1
+    // bug regression guard: radius 16 over 4 bands silently lost pairs)
+    val corpus = (0L until 40L).map { i =>
+      // 13 token slots; vary a couple of slots per doc so pair distances
+      // spread across the radius boundary
+      val toks = (0 until 13).map { j =>
+        if ((i + j) % 7 == 0) s"alt${(i + j) % 5}" else s"base$j"
+      }
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text").withColumn("tokens", split(col("text"), " "))
+    for (radius <- Seq(2, 3)) {
+      val banded = Dedup.simhashDup(corpus, "doc_id", "tokens",
+        maxHamming = radius, bands = 4)
+        .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+      val sig = corpus.select(col("doc_id").as("k"),
+        Dedup.simhash(col("tokens")).as("sh"))
+      val exact = sig.as("a").join(sig.as("b"), col("a.k") < col("b.k"))
+        .withColumn("hamming", bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
+        .filter(col("hamming") <= radius)
+        .select(col("a.k"), col("b.k")).as[(Long, Long)].collect().toSet
+      assert(banded === exact, s"radius $radius: banded != exact")
+    }
+  }
+
+  test("simhashDup rejects a radius the banding cannot guarantee") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashDup(docs, "doc_id", "tokens", maxHamming = 16, bands = 4)
+    }
+  }
+
+  test("ngram jaccard df-cap drops hot-shingle candidate floods") {
+    // every doc shares the same 3-token prefix -> one shingle with df = n;
+    // uncapped, that stop-shingle alone creates O(n^2) candidate pairs
+    val hot = (0L until 12L).map { i =>
+      (i, s"common stop prefix unique${i}a unique${i}b unique${i}c unique${i}d")
+    }.toDF("doc_id", "text").withColumn("tokens", split(col("text"), " "))
+    val uncapped = Dedup.ngramJaccard(hot, "doc_id", "tokens", k = 3,
+      threshold = 0.0)
+    // all 66 pairs are candidates through the hot shingle
+    assert(uncapped.count() === 66)
+    val capped = Dedup.ngramJaccard(hot, "doc_id", "tokens", k = 3,
+      threshold = 0.0, maxShingleDf = 5)
+    // the df-12 stop-shingle is excluded from the comparison space, so no
+    // pair shares any shingle at all
+    assert(capped.count() === 0)
+  }
+
+  test("minhash LSH hot-bucket cap drops degenerate giant buckets") {
+    // 10 identical docs all collapse into one bucket per band (100 candidate
+    // rows per band uncapped); cap 5 drops those buckets entirely
+    val same = (0L until 10L).map(i => (i, "the exact same boilerplate text repeated verbatim"))
+      .toDF("doc_id", "text").withColumn("tokens", split(col("text"), " "))
+    val uncapped = Dedup.minhashLsh(same, "doc_id", "tokens", k = 3,
+      numHashes = 16, bands = 4)
+    assert(uncapped.count() === 45) // all C(10,2) pairs
+    val capped = Dedup.minhashLsh(same, "doc_id", "tokens", k = 3,
+      numHashes = 16, bands = 4, maxBucket = 5)
+    assert(capped.count() === 0)
   }
 
   test("embedding cosine near-dup") {
