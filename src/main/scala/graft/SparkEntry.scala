@@ -65,6 +65,29 @@ object SparkEntry {
                AND NOT regexp_matches(tk, '$OracleTriples')
                AND NOT list_contains($OracleStops, tk))"""
 
+  /** P4 fixture lexicon: token → (lemma, POS) over corpus-attested tokens.
+    * ADJ entries exercise the allowlist drop; agg/dup exercise the lemma
+    * rewrite. The q43 oracle hand-compiles exactly this table. */
+  private val PosLexicon: Map[String, (String, String)] = Map(
+    "scan" -> ("scan", "VERB"), "merge" -> ("merge", "VERB"),
+    "agg" -> ("aggregate", "VERB"), "dup" -> ("duplicate", "NOUN"),
+    "table" -> ("table", "NOUN"),
+    "fast" -> ("fast", "ADJ"), "slow" -> ("slow", "ADJ"),
+    "big" -> ("big", "ADJ"), "small" -> ("small", "ADJ"))
+
+  /** Materialized per-document term frequencies — the one aggregate the
+    * vocab/BOW/tf-idf tier derives everything from. The df branch and the
+    * bow branch form a plan diamond Catalyst cannot share (column pruning
+    * makes the two shuffles non-identical, so exchange reuse never fires —
+    * verified), so it is materialized explicitly: .persist() here, a
+    * checkpoint / Scale.resumableWrite at 100 TB. Spark's cache manager
+    * dedupes by canonical plan, so q14/q15/q16 share one materialization
+    * per session and the tokenize+explode subtree runs ONCE (round 1 ran
+    * it per branch — 3× the dominant narrow-stage cost). */
+  private def docTermCounts(s: SparkSession, dir: String): DataFrame =
+    Vocab.termCounts(Vocab.tokensLong(docTokens(s, dir), "doc_id", "tokens"), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** conv_id / turn_idx key mapping used by Transcripts.fromDocuments,
     * restated in SQL for the extraction oracles. */
   private val OracleConvId = s"'c' || lpad(CAST(doc_id % ${Transcripts.ConvFold} AS VARCHAR), 4, '0')"
@@ -179,27 +202,26 @@ object SparkEntry {
 
     // A2/A3 — dictionary with filter_extremes + deterministic ids
     "q14_vocab" -> ((s, dir) => {
-      val toks = Vocab.tokensLong(docTokens(s, dir), "doc_id", "tokens")
+      val tc = docTermCounts(s, dir)
       val n = t(s, dir, "documents").count()
-      Vocab.build(toks, "doc_id", n, noBelow = 2, noAbove = 0.9)
+      Vocab.buildFromCounts(tc, n, noBelow = 2, noAbove = 0.9)
     }),
 
-    // A4 — bag of words (long form)
+    // A4 — bag of words (long form); vocab + bow branches read the one
+    // materialized termCounts aggregate (see docTermCounts).
     "q15_bow" -> ((s, dir) => {
-      val toksDf = docTokens(s, dir)
-      val toks = Vocab.tokensLong(toksDf, "doc_id", "tokens")
+      val tc = docTermCounts(s, dir)
       val n = t(s, dir, "documents").count()
-      val vocab = Vocab.build(toks, "doc_id", n, noBelow = 2, noAbove = 0.9)
-      Vocab.bow(toks, vocab, "doc_id")
+      val vocab = Vocab.buildFromCounts(tc, n, noBelow = 2, noAbove = 0.9)
+      Vocab.bowFromCounts(tc, vocab, "doc_id")
     }),
 
-    // M1 — tf-idf (rounded column math)
+    // M1 — tf-idf (rounded column math); single vocab join carrying id+df
     "q16_tfidf" -> ((s, dir) => {
-      val toksDf = docTokens(s, dir)
-      val toks = Vocab.tokensLong(toksDf, "doc_id", "tokens")
+      val tc = docTermCounts(s, dir)
       val n = t(s, dir, "documents").count()
-      val vocab = Vocab.build(toks, "doc_id", n, noBelow = 2, noAbove = 0.9)
-      Vocab.tfidf(Vocab.bow(toks, vocab, "doc_id"), vocab, "doc_id", n)
+      val vocab = Vocab.buildFromCounts(tc, n, noBelow = 2, noAbove = 0.9)
+      Vocab.tfidfFromCounts(tc, vocab, "doc_id", n)
         .withColumn("tfidf", round(col("tfidf"), 6))
     }),
 
@@ -293,11 +315,20 @@ object SparkEntry {
             .as(Seq("h_idx", "minhash")))
     }),
 
-    // M11 — deterministic hash-based stratified split (test fraction 3/10)
-    "q32_split" -> ((s, dir) => t(s, dir, "embeddings").select(
-      col("vec_id"), col("label").cast("int").as("label"),
-      (pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
-        .cast("long"), lit(10L)) < 3).as("is_test"))),
+    // M11 — TRUE stratified split: exactly ceil(3n/10) test rows per label,
+    // deterministic hash order (round 1 shipped a plain hash split that did
+    // not preserve class proportions on skewed labels).
+    "q32_split" -> ((s, dir) => Scorer.stratifiedSplit(
+      t(s, dir, "embeddings").select(col("vec_id"),
+        col("label").cast("int").as("label")),
+      "label", "vec_id", testNum = 3, testDen = 10)),
+
+    // P4 — POS-filtered lemmatization over the normalized token stream:
+    // lexicon-tagged ADJ tokens are dropped (allowlist NOUN/VERB), tagged
+    // tokens are lemma-rewritten, unknown tokens default to NOUN and pass.
+    "q43_lemma_pos" -> ((s, dir) => docTokens(s, dir).select(col("doc_id"),
+      explode(Normalize.lemmaLookupPos(col("tokens"), PosLexicon,
+        allowed = Set("NOUN", "VERB"))).as("token"))),
 
     // T7 — deterministic sample (hash-ordered top-20; reservoir analog)
     "q33_sample" -> ((s, dir) => t(s, dir, "orders")
@@ -402,6 +433,20 @@ object SparkEntry {
         .setFeaturesCol("features").fit(emb)
       model.transform(emb).select(col("vec_id"), col("label"),
         col("prediction").as("cluster"))
+    }),
+
+    // M2 — LSA: tfidf → truncated SVD(k=5) → L2 normalize (reference Entry 3
+    // middle tier). Rows-only driver check (SVD sign/rotation is not
+    // SQL-replayable); geometry is pinned by LsaSpec.
+    "q44_lsa" -> ((s, dir) => {
+      val tc = docTermCounts(s, dir)
+      val n = t(s, dir, "documents").count()
+      val vocab = Vocab.buildFromCounts(tc, n, noBelow = 2, noAbove = 0.9)
+      val vocabSize = vocab.count().toInt
+      val tfidf = Vocab.tfidfFromCounts(tc, vocab, "doc_id", n)
+      graft.ml.Lsa.project(tfidf, "doc_id", "tfidf", vocabSize, k = 5)
+        .select(col("doc_id"), posexplode(col("projection")).as(Seq("dim", "value")))
+        .select(col("doc_id"), col("dim"), round(col("value"), 4).as("value"))
     }),
 
     // ---------------------------------------------------------- extraction
@@ -642,7 +687,7 @@ object SparkEntry {
              coalesce(predicted, 0) AS predicted
            FROM by_label a FULL OUTER JOIN by_pred b ON a.label = b.label),
          pr AS (
-           SELECT label, support,
+           SELECT label, support, tp,
              round(CAST(tp AS DOUBLE) / greatest(predicted, 1), 6) AS precision,
              round(CAST(tp AS DOUBLE) / greatest(support, 1), 6) AS recall
            FROM j)
@@ -650,7 +695,9 @@ object SparkEntry {
            round(CASE WHEN precision + recall > 0
              THEN 2.0 * precision * recall / (precision + recall)
              ELSE 0.0 END, 6) AS f1,
-           support
+           support,
+           round(CAST(sum(tp) OVER () AS DOUBLE)
+             / CAST(greatest(sum(support) OVER (), 1) AS DOUBLE), 6) AS accuracy
          FROM pr""",
 
     "q24_confusion" ->
@@ -733,8 +780,21 @@ object SparkEntry {
 
     "q32_split" ->
       """SELECT vec_id, CAST(label AS INT) AS label,
-           ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT % 10 < 3 AS is_test
+           row_number() OVER (PARTITION BY CAST(label AS INT)
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+             <= (count(*) OVER (PARTITION BY CAST(label AS INT)) * 3 + 9) // 10
+             AS is_test
          FROM embeddings""",
+
+    // hand-compiled replay of PosLexicon ∘ allowlist {NOUN, VERB}: the four
+    // ADJ tokens are the only drops; agg/dup the only lemma rewrites
+    "q43_lemma_pos" ->
+      s"""SELECT doc_id, unnest(list_transform(
+            list_filter($OracleTokens,
+              tk -> tk NOT IN ('fast', 'slow', 'big', 'small')),
+            tk -> CASE tk WHEN 'agg' THEN 'aggregate'
+                          WHEN 'dup' THEN 'duplicate' ELSE tk END)) AS token
+          FROM documents""",
 
     "q33_sample" ->
       """SELECT o_orderkey, o_custkey FROM orders

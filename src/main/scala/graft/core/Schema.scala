@@ -37,7 +37,8 @@ final case class ExtractedTurn(
 
 /** One lexed block of a turn payload (E1 in SURVEY.md §2.4): a run of text
   * inside one block-level container, with char offsets into the original
-  * payload plus densitometric raw counts used by the E2/E3 classifier.
+  * payload plus densitometric raw counts used by the E2/E3 classifier and
+  * the E4 scorer.
   *
   *  - `tag`      innermost block-level container tag ("" for bare text)
   *  - `path`     '/'-joined open block-tag stack (chrome detection looks here)
@@ -46,6 +47,9 @@ final case class ExtractedTurn(
   *  - `nTags`    inline tags seen inside the block
   *  - `nLinks`   <a> tags seen inside the block
   *  - `linkChars` chars of text that sit inside <a>...</a>
+  *  - `nWords`   whitespace-delimited words in `text`
+  *  - `nStops`   of those, hits in the shared stoplist (case-folded)
+  *  - `nDigits`  digit chars in `text`
   */
 final case class Block(
     tag: String,
@@ -55,5 +59,49 @@ final case class Block(
     end: Int,
     nTags: Int,
     nLinks: Int,
-    linkChars: Int
+    linkChars: Int,
+    nWords: Int,
+    nStops: Int,
+    nDigits: Int
 )
+
+object Block {
+  /** Stopword set the E4 scorer's stop_ratio feature counts against —
+    * shared with graft.score.Scorer.DefaultStops (ONE constant; round-1
+    * ADVICE flagged two drifting stoplists). */
+  val Stops: Set[String] = graft.text.Normalize.DefaultStops.toSet
+
+  /** Longest stopword — words longer than this skip the substring/lowercase
+    * allocation in [[make]] entirely (every default stop is ≤ 4 chars, so
+    * typical content words cost zero allocations). */
+  private val MaxStopLen: Int = Stops.map(_.length).max
+
+  /** Construct a block, deriving the scorer's text statistics (words,
+    * stopword hits, digit chars) in ONE extra pass over the block text.
+    * The lexer already touches every char, so computing these here is
+    * nearly free — versus 3 regex/split expression passes per block when
+    * spelled in SQL (measured: 4× whole-kernel slowdown of the scored
+    * pipeline, round 2). */
+  def make(tag: String, path: String, text: String, start: Int, end: Int,
+           nTags: Int, nLinks: Int, linkChars: Int): Block = {
+    var words = 0; var stops = 0; var digits = 0
+    val n = text.length
+    var i = 0; var wordStart = -1
+    while (i <= n) {
+      val atWs = i == n || Character.isWhitespace(text.charAt(i))
+      if (!atWs) {
+        if (wordStart < 0) wordStart = i
+        val c = text.charAt(i)
+        if (c >= '0' && c <= '9') digits += 1
+      } else if (wordStart >= 0) {
+        words += 1
+        if (i - wordStart <= MaxStopLen &&
+            Stops.contains(text.substring(wordStart, i).toLowerCase)) stops += 1
+        wordStart = -1
+      }
+      i += 1
+    }
+    Block(tag, path, text, start, end, nTags, nLinks, linkChars,
+      words, stops, digits)
+  }
+}

@@ -29,46 +29,94 @@ object Vocab {
   def tokensLong(df: DataFrame, docKey: String, tokensCol: String): DataFrame =
     df.select(col(docKey), explode(col(tokensCol)).as("token"))
 
-  /** A3 (stats half) — document frequency per token. */
-  def dfStats(tokensLong: DataFrame, docKey: String): DataFrame =
-    tokensLong.select(col(docKey), col("token")).distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
+  /** THE shared aggregation of the text tier: per-document term frequencies
+    * (docKey, token, cnt). Dictionary df-stats, BOW and tf-idf all derive
+    * from this one aggregate, so a pipeline that consumes it twice shares
+    * the tokenize+explode+shuffle subtree via Spark's ReuseExchange — the
+    * round-1 plan recomputed tokenization once per branch (3× the dominant
+    * narrow-stage cost at 100 TB). */
+  def termCounts(tokensLong: DataFrame, docKey: String): DataFrame =
+    tokensLong.groupBy(col(docKey), col("token")).agg(count(lit(1)).as("cnt"))
 
-  /** A2+A3 — build the dictionary: filter extremes
+  /** A3 (stats half) — document frequency per token, derived from the term
+    * counts (one row per (doc, token) pair, so a count is the df).
+    *
+    * NOTE: a consumer that needs BOTH this and [[bowFromCounts]] holds a
+    * plan diamond over termCounts that Catalyst cannot share (this branch
+    * prunes cnt, so the two shuffles never canonicalize equal — verified
+    * empirically; exchange reuse does not fire). Materialize termCounts
+    * explicitly at the call site: .persist() locally, a checkpoint/table
+    * write at 100 TB. */
+  def dfFromCounts(termCounts: DataFrame): DataFrame =
+    termCounts.groupBy("token").agg(count(lit(1)).as("df"))
+
+  /** A3 over raw long-form tokens (compat shim). */
+  def dfStats(tokensLong: DataFrame, docKey: String): DataFrame =
+    dfFromCounts(termCounts(tokensLong, docKey))
+
+  /** A2+A3 — build the dictionary from term counts: filter extremes
     * (df < noBelow || df > noAbove·N dropped; reference:
     * main_corpus_processing.py:174 with call-site params
     * src/doc_classification.py:479-482), cap at keepN most frequent, then
     * assign deterministic ids by (df desc, token asc) — stable across runs
-    * and partitionings. Returns (token, id, df). */
-  def build(tokensLong: DataFrame, docKey: String, nDocs: Long,
-            noBelow: Long = 1, noAbove: Double = 1.0,
-            keepN: Int = 100000): DataFrame = {
-    val stats = dfStats(tokensLong, docKey)
+    * and partitionings. Returns (token, id, df).
+    *
+    * Id assignment is scale-safe: a distributed TakeOrdered (`orderBy` +
+    * `limit`) caps the candidate set at keepN BEFORE the single-partition
+    * ranking window — round 1 pushed the whole pruned vocab through one
+    * unbounded global window sort, which a permissive noBelow turns into a
+    * billions-of-rows single partition at web scale. */
+  def buildFromCounts(termCounts: DataFrame, nDocs: Long,
+                      noBelow: Long = 1, noAbove: Double = 1.0,
+                      keepN: Int = 100000): DataFrame = {
+    val stats = dfFromCounts(termCounts)
       .filter(col("df") >= noBelow && col("df") <= (lit(noAbove) * nDocs))
-    // vocab is small post-pruning: a single-partition sort-then-index is the
-    // deterministic-id strategy SURVEY.md §7 hard-part (b) calls for.
+    val top = stats.orderBy(col("df").desc, col("token").asc).limit(keepN)
     val w = Window.orderBy(col("df").desc, col("token").asc)
-    stats
+    top
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= keepN)
       .select(col("token"), (col("rk") - 1).cast("long").as("id"), col("df"))
   }
 
-  /** A4 — bag of words in long form (docKey, token_id, cnt): explode →
-    * broadcast-join vocab → count. Long form keeps downstream ops
-    * relational (SURVEY.md §1 BOW row). */
-  def bow(tokensLong: DataFrame, vocab: DataFrame, docKey: String): DataFrame =
-    tokensLong
-      .join(broadcast(vocab.select("token", "id")), Seq("token"))
-      .groupBy(col(docKey), col("id").as("token_id"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col(docKey), col("token_id"), col("cnt"))
+  /** A2+A3 over raw long-form tokens (compat shim). */
+  def build(tokensLong: DataFrame, docKey: String, nDocs: Long,
+            noBelow: Long = 1, noAbove: Double = 1.0,
+            keepN: Int = 100000): DataFrame =
+    buildFromCounts(termCounts(tokensLong, docKey), nDocs, noBelow, noAbove, keepN)
 
-  /** M1 — TF-IDF from BOW + df stats as pure column math
+  /** A4 — bag of words in long form (docKey, token_id, cnt) from the shared
+    * term counts: broadcast-join the pruned vocab onto the aggregate. Long
+    * form keeps downstream ops relational (SURVEY.md §1 BOW row). */
+  def bowFromCounts(termCounts: DataFrame, vocab: DataFrame,
+                    docKey: String): DataFrame =
+    termCounts
+      .join(broadcast(vocab.select("token", "id")), Seq("token"))
+      .select(col(docKey), col("id").as("token_id"), col("cnt"))
+
+  /** A4 over raw long-form tokens (compat shim). */
+  def bow(tokensLong: DataFrame, vocab: DataFrame, docKey: String): DataFrame =
+    bowFromCounts(termCounts(tokensLong, docKey), vocab, docKey)
+
+  /** M1 — TF-IDF straight from the shared term counts in ONE vocab join:
+    * the broadcast vocab carries both id and df, so the plan holds a single
+    * vocab-build subtree (round 1 built the dictionary twice — once for bow
+    * ids, once for the df re-join). idf = ln(N/df); sublinear tf = 1+ln(tf).
     * (reference: TfidfVectorizer(max_df=.5) k_means_approach.py:18;
-    * sublinear variant supervised.py:118). HashingTF is rejected — hash
-    * collisions break fixture equality (SURVEY.md M1). idf = ln(N/df);
-    * sublinear tf = 1 + ln(tf). */
+    * sublinear variant supervised.py:118. HashingTF is rejected — hash
+    * collisions break fixture equality, SURVEY.md M1.) */
+  def tfidfFromCounts(termCounts: DataFrame, vocab: DataFrame, docKey: String,
+                      nDocs: Long, sublinear: Boolean = false): DataFrame = {
+    val tf: Column =
+      if (sublinear) lit(1.0) + log(col("cnt").cast("double"))
+      else col("cnt").cast("double")
+    termCounts
+      .join(broadcast(vocab.select(col("token"), col("id"), col("df"))), Seq("token"))
+      .withColumn("tfidf", tf * log(lit(nDocs.toDouble) / col("df").cast("double")))
+      .select(col(docKey), col("id").as("token_id"), col("cnt"), col("tfidf"))
+  }
+
+  /** M1 from a prebuilt BOW (compat shim — needs the second vocab join the
+    * counts-based path avoids). */
   def tfidf(bow: DataFrame, vocab: DataFrame, docKey: String, nDocs: Long,
             sublinear: Boolean = false): DataFrame = {
     val tf: Column =

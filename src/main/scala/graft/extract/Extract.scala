@@ -34,13 +34,6 @@ object Extract {
     * blocks likewise — byte-exactness is proven by the fixture oracle. */
   val JoinSep = " "
 
-  import org.apache.spark.sql.types._
-  private val blockSchema = ArrayType(StructType(Seq(
-    StructField("tag", StringType), StructField("path", StringType),
-    StructField("text", StringType), StructField("start", IntegerType),
-    StructField("end", IntegerType), StructField("nTags", IntegerType),
-    StructField("nLinks", IntegerType), StructField("linkChars", IntegerType))))
-
   /** Stage 1 (E1): attach the lexed block stream as a `blocks` column.
     * Runs partition-parallel; no shuffle. Implemented as a native Catalyst
     * expression ([[LexBlocksExpr]]) rather than a Scala UDF — the UDF's
@@ -67,6 +60,7 @@ object Extract {
           'tag', b.tag, 'path', b.path, 'text', b.text,
           'start', b.start, 'end', b.end,
           'nTags', b.nTags, 'nLinks', b.nLinks, 'linkChars', b.linkChars,
+          'nWords', b.nWords, 'nStops', b.nStops, 'nDigits', b.nDigits,
           'text_len', length(b.text),
           'link_density', CASE WHEN length(b.text) = 0 THEN 1.0D
                                ELSE CAST(b.linkChars AS DOUBLE) / length(b.text) END,
@@ -99,11 +93,13 @@ object Extract {
     * weight column math (graft.score.Scorer). The rule tier (E3) decides
     * structurally-obvious chrome (nav/footer paths); the scorer arbitrates
     * the rest by content statistics. Threshold 0.5 on sigmoid output.
-    * Pure higher-order-function math — still zero shuffles, still codegen. */
+    * Pure higher-order-function math — still zero shuffles, still codegen.
+    * The score expression is GENERATED from Scorer.scoreSql so the feature
+    * semantics (incl. the stoplist) cannot drift from the definition the
+    * DefaultW weights were fit against (round-1 ADVICE finding). */
   def scored(classifiedDf: DataFrame,
              w: Seq[Double] = graft.score.Scorer.DefaultW,
              b: Double = graft.score.Scorer.DefaultB): DataFrame = {
-    val wLit = w.map(x => s"${x}D").mkString("array(", ", ", ")")
     classifiedDf.withColumn(
       "blocks",
       expr(s"""
@@ -111,26 +107,47 @@ object Extract {
           'tag', blk.tag, 'path', blk.path, 'text', blk.text,
           'start', blk.start, 'end', blk.end,
           'nTags', blk.nTags, 'nLinks', blk.nLinks, 'linkChars', blk.linkChars,
+          'nWords', blk.nWords, 'nStops', blk.nStops, 'nDigits', blk.nDigits,
           'text_len', blk.text_len, 'link_density', blk.link_density,
           'tag_density', blk.tag_density,
-          'score', 1.0D / (1.0D + exp(-aggregate(
-             zip_with(
-               array(least(CAST(blk.text_len AS DOUBLE) / 256.0D, 1.0D),
-                     blk.link_density,
-                     blk.tag_density,
-                     CAST(size(filter(split(lower(blk.text), '\\\\s+'),
-                          t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
-                       / greatest(size(filter(split(blk.text, '\\\\s+'), t -> length(t) > 0)), 1),
-                     CAST(length(blk.text) - length(regexp_replace(blk.text, '[0-9]', '')) AS DOUBLE)
-                       / greatest(blk.text_len, 1)),
-               $wLit, (x, wi) -> x * wi),
-             CAST($b AS DOUBLE), (acc, x) -> acc + x))),
+          'score', ${graft.score.Scorer.scoreSql("blk", w = w, b = b)},
           'label', CASE
             WHEN blk.path RLIKE '$ChromePathRe' THEN 'chrome'
             WHEN blk.label = 'chrome' THEN 'chrome'
             ELSE 'content' END))
       """))
   }
+
+  /** Fused E2+E3+E4 stage for the scored pipeline: ONE transform over the
+    * lexed block array computes the logistic score and the final label.
+    * Round 1 spelled this as three sequential full array rewrites
+    * (classified → scored → relabelByScore), 3× the per-row work of the
+    * stage; semantics are identical because relabelByScore discards
+    * everything but path-chrome and the score threshold anyway. The score
+    * is bound once per block via the single-element-array trick (a
+    * named_struct field cannot reference a sibling; evaluating the score
+    * twice instead measured 20% slower — exp() and the divisions dominate
+    * the wrapper cost). */
+  def scoreLabeled(withBlocks: DataFrame,
+                   w: Seq[Double] = graft.score.Scorer.DefaultW,
+                   b: Double = graft.score.Scorer.DefaultB,
+                   threshold: Double = 0.5): DataFrame =
+    withBlocks.withColumn(
+      "blocks",
+      expr(s"""
+        transform(blocks, blk -> element_at(transform(
+          array(${graft.score.Scorer.scoreSql("blk", w = w, b = b)}),
+          sc -> named_struct(
+            'tag', blk.tag, 'path', blk.path, 'text', blk.text,
+            'start', blk.start, 'end', blk.end,
+            'nTags', blk.nTags, 'nLinks', blk.nLinks, 'linkChars', blk.linkChars,
+            'nWords', blk.nWords, 'nStops', blk.nStops, 'nDigits', blk.nDigits,
+            'score', sc,
+            'label', CASE
+              WHEN blk.path RLIKE '$ChromePathRe' THEN 'chrome'
+              WHEN sc > ${threshold}D THEN 'content'
+              ELSE 'chrome' END)), 1))
+      """))
 
   /** Let the E4 score arbitrate labels: structural chrome stays chrome; the
     * rest is content iff sigmoid score > threshold. Separate stage because
@@ -163,13 +180,13 @@ object Extract {
         col("extracted").as("text"), col("spans"))
 
   /** Full kernel with the E4 neural arbiter in the loop:
-    * lex → densitometric features → logistic score → relabel → reassemble.
+    * lex → fused score+label ([[scoreLabeled]], one array pass) → reassemble.
     * Same output contract as [[pipeline]]. */
   def scoredPipeline(turns: DataFrame,
                      w: Seq[Double] = graft.score.Scorer.DefaultW,
                      b: Double = graft.score.Scorer.DefaultB,
                      threshold: Double = 0.5): DataFrame =
-    extracted(relabelByScore(scored(classified(lexed(turns)), w, b), threshold))
+    extracted(scoreLabeled(lexed(turns), w, b, threshold))
       .select(col("conv_id"), col("turn_idx"),
         col("extracted").as("text"), col("spans"))
 

@@ -38,7 +38,7 @@ case class LexBlocksExpr(left: Expression, right: Expression)
       rows(i) = new GenericInternalRow(Array[Any](
         UTF8String.fromString(b.tag), UTF8String.fromString(b.path),
         UTF8String.fromString(b.text), b.start, b.end,
-        b.nTags, b.nLinks, b.linkChars))
+        b.nTags, b.nLinks, b.linkChars, b.nWords, b.nStops, b.nDigits))
       i += 1
     }
     new GenericArrayData(rows)
@@ -61,7 +61,10 @@ object LexBlocksExpr {
     StructField("end", IntegerType, nullable = false),
     StructField("nTags", IntegerType, nullable = false),
     StructField("nLinks", IntegerType, nullable = false),
-    StructField("linkChars", IntegerType, nullable = false)))
+    StructField("linkChars", IntegerType, nullable = false),
+    StructField("nWords", IntegerType, nullable = false),
+    StructField("nStops", IntegerType, nullable = false),
+    StructField("nDigits", IntegerType, nullable = false)))
   val BlockArrayType: ArrayType = ArrayType(BlockStructType, containsNull = false)
 
   def lexBlocks(text: Column, role: Column): Column = {

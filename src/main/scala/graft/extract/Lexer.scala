@@ -64,7 +64,7 @@ object Lexer {
       case ToolJson => lexToolJson(text)
       case Plain =>
         if (text.isEmpty) Seq.empty
-        else Seq(Block("", "", text, 0, text.length, 0, 0, 0))
+        else Seq(Block.make("", "", text, 0, text.length, 0, 0, 0))
     }
   }
 
@@ -93,15 +93,27 @@ object Lexer {
 
     def flush(): Unit = {
       if (sb.length > 0) {
-        out += Block(curTag, path, sb.toString, blockStart, blockEnd, nTags, nLinks, linkChars)
+        // trim trailing whitespace here (no copy of the whole block list
+        // later) and compute the scorer stats on the final text
+        val t = trimRight(sb.toString)
+        if (t.nonEmpty)
+          out += Block.make(curTag, path, t, blockStart, blockEnd, nTags, nLinks, linkChars)
       }
       sb.setLength(0); blockStart = -1; blockEnd = -1
       nTags = 0; nLinks = 0; linkChars = 0
     }
 
+    // '<' opens a tag only when followed by an optional '/' then a letter;
+    // otherwise it is literal text — 'a < b > c' must not lose ' b '
+    // (round-1 ADVICE: lexMarkup consumed '<'..'>' unconditionally).
+    def isTagAt(pos: Int): Boolean = {
+      val j = if (pos + 1 < n && s.charAt(pos + 1) == '/') pos + 2 else pos + 1
+      j < n && s.charAt(j).isLetter
+    }
+
     while (i < n) {
       val c = s.charAt(i)
-      if (c == '<') {
+      if (c == '<' && isTagAt(i)) {
         // parse tag
         val close = i + 1 < n && s.charAt(i + 1) == '/'
         var j = i + (if (close) 2 else 1)
@@ -155,11 +167,18 @@ object Lexer {
               case _      => ("&", 1)
             }
           } else ("&", 1)
-        if (blockStart < 0) blockStart = i
-        sb.append(decoded)
-        if (linkDepth > 0) linkChars += decoded.length
+        // mirror the plain-char path: whitespace entities (&nbsp;) never
+        // open a block and never advance blockEnd past trimmed text, so the
+        // text == payload.substring(start, end) span invariant holds
+        // (round-1 ADVICE: a trailing whitespace entity overshot the span).
+        val isWs = decoded == " "
+        if (blockStart < 0 && !isWs) blockStart = i
+        if (blockStart >= 0) {
+          sb.append(decoded)
+          if (linkDepth > 0) linkChars += decoded.length
+          if (!isWs) blockEnd = i + adv
+        }
         i += adv
-        blockEnd = i
       } else {
         if (dropDepth == 0) {
           if (blockStart < 0 && !c.isWhitespace) blockStart = i
@@ -173,11 +192,7 @@ object Lexer {
       }
     }
     flush()
-    // trim trailing whitespace that crept into sb after last non-ws char
-    out.map { b =>
-      val t = trimRight(b.text)
-      b.copy(text = t)
-    }.filter(_.text.nonEmpty).toSeq
+    out.toSeq
   }
 
   private def trimRight(s: String): String = {
@@ -214,7 +229,7 @@ object Lexer {
             val textStart = sp2 + 1
             val text = s.substring(textStart, eol)
             if (text.nonEmpty)
-              out += ((y, x, Block("line", "layout", text, textStart, eol, 0, 0, 0)))
+              out += ((y, x, Block.make("line", "layout", text, textStart, eol, 0, 0, 0)))
           } catch { case _: NumberFormatException => () }
         }
       }
@@ -231,7 +246,7 @@ object Lexer {
   def lexToolJson(s: String): Seq[Block] = {
     val key = "\"result\""
     val ki = s.indexOf(key)
-    if (ki < 0) return Seq(Block("", "", s, 0, s.length, 0, 0, 0))
+    if (ki < 0) return Seq(Block.make("", "", s, 0, s.length, 0, 0, 0))
     var i = ki + key.length
     val n = s.length
     while (i < n && (s.charAt(i) == ' ' || s.charAt(i) == ':')) i += 1
@@ -257,6 +272,6 @@ object Lexer {
       else { sb.append(c); i += 1 }
     }
     if (sb.length == 0) Seq.empty
-    else Seq(Block("result", "tool", sb.toString, start, i, 0, 0, 0))
+    else Seq(Block.make("result", "tool", sb.toString, start, i, 0, 0, 0))
   }
 }

@@ -1,0 +1,59 @@
+package graft.ml
+
+import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+import org.apache.spark.mllib.linalg.distributed.RowMatrix
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** M2 — LSA/TruncatedSVD tier completing reference Entry 3 parity:
+  * tfidf → TruncatedSVD(k) → L2 Normalizer → (KMeans downstream)
+  * (reference: modules/k_means_approach.py:18-23 — TfidfVectorizer,
+  * TruncatedSVD, Normalizer, MiniBatchKMeans).
+  *
+  * The truncated SVD is MLlib's distributed `RowMatrix.computeSVD` (ARPACK
+  * on the driver over a distributed Gram-vector product) — the engine's ONE
+  * RDD-based stage, used because Spark ML has no DataFrame-native
+  * distributed truncated SVD; everything around it stays relational.
+  *
+  * Scale shape: the corpus never leaves the cluster — only V (vocab × k,
+  * small because the vocab is keepN-capped) lands on the driver and ships
+  * back as a broadcast; the per-doc projection is a narrow map. */
+object Lsa {
+
+  /** Long-form (docKey, token_id, value) → (docKey, projection: array[k]),
+    * L2-normalized. `vocabSize` = dictionary size (ids are 0-based dense by
+    * Vocab.build's construction). */
+  def project(tfidf: DataFrame, docKey: String, valueCol: String,
+              vocabSize: Int, k: Int): DataFrame = {
+    val spark = tfidf.sparkSession
+    import spark.implicits._
+    require(k <= vocabSize, s"k=$k exceeds vocabSize=$vocabSize")
+    val docVecs = tfidf
+      .select(col(docKey).cast("long"), col("token_id").cast("int"),
+        col(valueCol).cast("double"))
+      .rdd
+      .map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2))))
+      .groupByKey()
+      .mapValues { it =>
+        val s = it.toArray.sortBy(_._1)
+        OldVectors.sparse(vocabSize, s.map(_._1), s.map(_._2))
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // computeSVD is an action — it materializes the persisted docVecs, and
+    // the lazy projection map below re-reads them from cache at query time
+    // (do NOT unpersist here: the returned frame still depends on it).
+    val svd = new RowMatrix(docVecs.values).computeSVD(k, computeU = false)
+    val vb = spark.sparkContext.broadcast(svd.V)
+    docVecs.map { case (doc, vec) =>
+      val v = vb.value
+      val proj = new Array[Double](k)
+      vec.foreachActive { (i, x) =>
+        var j = 0
+        while (j < k) { proj(j) += x * v(i, j); j += 1 }
+      }
+      val n = math.sqrt(proj.map(p => p * p).sum)
+      (doc, if (n == 0.0) proj.toSeq else proj.map(_ / n).toSeq)
+    }.toDF(docKey, "projection")
+  }
+}

@@ -43,22 +43,39 @@ object Scale {
   // ---------------------------------------------------------------- manifest
 
   /** Per-partition lineage manifest: a tiny parquet table
-    * (bucket int, rows long, completed_at string) recording finished output
-    * buckets. Idempotent resume = read manifest, skip completed buckets,
-    * overwrite-by-partition for the rest. Plain application logic, not
-    * planner surgery (SURVEY.md §4 conclusion). */
+    * (bucket int, rows long) recording finished output buckets. Idempotent
+    * resume = read manifest, skip completed buckets, overwrite-by-partition
+    * for the rest. Plain application logic, not planner surgery
+    * (SURVEY.md §4 conclusion). All path probing goes through the Hadoop
+    * FileSystem API — java.io.File broke on S3/HDFS, the stated design
+    * point (round-1 verdict). */
+  private def fsFor(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def nonEmptyDir(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = fsFor(spark, path)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
   def completedBuckets(spark: SparkSession, manifestDir: String): Set[Int] = {
-    val fs = new java.io.File(manifestDir)
-    if (!fs.exists || fs.listFiles == null || fs.listFiles.isEmpty) Set.empty
+    if (!nonEmptyDir(spark, manifestDir)) Set.empty
     else spark.read.parquet(manifestDir)
       .select("bucket").distinct().collect().map(_.getInt(0)).toSet
   }
 
   def recordBucket(spark: SparkSession, manifestDir: String, bucket: Int,
-                   rows: Long): Unit = {
+                   rows: Long): Unit =
+    recordBuckets(spark, manifestDir, Seq(bucket -> rows))
+
+  /** Record several completed buckets in ONE append job. */
+  def recordBuckets(spark: SparkSession, manifestDir: String,
+                    buckets: Seq[(Int, Long)]): Unit = {
     import spark.implicits._
-    Seq((bucket, rows)).toDF("bucket", "rows")
-      .write.mode("append").parquet(manifestDir)
+    if (buckets.nonEmpty)
+      buckets.toDF("bucket", "rows")
+        .coalesce(1).write.mode("append").parquet(manifestDir)
   }
 
   /** Resumable keyed write: bucket the result by hash(conv_id), drop buckets
@@ -67,7 +84,12 @@ object Scale {
     * retry — a re-run of a failed job rewrites exactly the unfinished
     * buckets and leaves completed ones untouched). The bucket filter prunes
     * at the source when the input is already bucket-partitioned, so a resume
-    * after k completed buckets rescans only (n−k)/n of the data. */
+    * after k completed buckets rescans only (n−k)/n of the data.
+    *
+    * Bookkeeping is O(1) jobs, not O(nBuckets): per-bucket row counts come
+    * from ONE `groupBy(bucket).count()` pass over the written table and the
+    * return total is the manifest sum — round 1 issued 65 sequential driver
+    * round-trip count jobs per 64-bucket write. */
   def resumableWrite(df: DataFrame, outDir: String, manifestDir: String,
                      nBuckets: Int = DefaultBuckets): Long = {
     val spark = df.sparkSession
@@ -83,16 +105,15 @@ object Scale {
       .repartition(col("bucket"))
       .sortWithinPartitions("conv_id", "turn_idx")
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
-    // record completions (counts read back from the written files — cheap
-    // metadata-only parquet count) and return total rows now present.
-    val writtenBuckets = (0 until nBuckets).filterNot(done)
-    writtenBuckets.foreach { bkt =>
-      val dir = new java.io.File(s"$outDir/bucket=$bkt")
-      if (dir.exists) {
-        val n = spark.read.parquet(dir.getPath).count()
-        recordBucket(spark, manifestDir, bkt, n)
-      }
-    }
-    spark.read.parquet(outDir).count()
+    // one distributed pass over the (partition-pruned) output records every
+    // newly-written bucket's count
+    val counts = spark.read.parquet(outDir)
+      .filter(if (done.isEmpty) lit(true) else !col("bucket").isin(done.toSeq: _*))
+      .groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    recordBuckets(spark, manifestDir, counts)
+    // total rows now present = manifest sum (metadata-sized read)
+    spark.read.parquet(manifestDir)
+      .agg(sum(col("rows"))).collect()(0).getLong(0)
   }
 }

@@ -64,15 +64,49 @@ object Scorer {
   val DefaultW: Seq[Double] = Seq(2.0, -4.0, -3.0, 1.0, -1.5)
   val DefaultB: Double = 0.25
 
-  /** M12 — per-label precision/recall/F1/support from (label, predicted)
+  /** The stoplist [[DefaultW]]'s stop_ratio feature was fit against — the
+    * ONE shared constant for the Column API ([[features]]) and the SQL text
+    * ([[scoreSql]]). Round-1 ADVICE: Extract's inline SQL had drifted to a
+    * private 10-word list, silently changing what the shared weights mean. */
+  val DefaultStops: Seq[String] = graft.text.Normalize.DefaultStops
+
+  /** SQL expression text for sigmoid(w·features(block) + b) over a lexed
+    * block struct variable `v` — generated here so Extract's fused
+    * transform and the offline [[features]] definition stay in lockstep.
+    * PURE ARITHMETIC over the counts the lexer already derived (v.nWords /
+    * v.nStops / v.nDigits, computed in Block.make's single text pass): an
+    * earlier draft re-tokenized every block with split/lower/regexp
+    * expressions and cost 4× whole-kernel throughput (measured).
+    * Feature order = [[featureNames]]. */
+  def scoreSql(v: String, w: Seq[Double] = DefaultW,
+               b: Double = DefaultB): String = {
+    // flat scalar dot product — no array construction / aggregate lambda
+    // machinery per block (the feature count is a compile-time constant)
+    val feats = Seq(
+      s"least(CAST(length($v.text) AS DOUBLE) / 256.0D, 1.0D)",
+      s"CAST($v.linkChars AS DOUBLE) / greatest(length($v.text), 1)",
+      s"CAST($v.nTags AS DOUBLE) / greatest(length($v.text), 1)",
+      s"CAST($v.nStops AS DOUBLE) / greatest($v.nWords, 1)",
+      s"CAST($v.nDigits AS DOUBLE) / greatest(length($v.text), 1)")
+    require(w.length == feats.length, s"need ${feats.length} weights")
+    val z = w.zip(feats).map { case (wi, f) => s"${wi}D * ($f)" }
+      .mkString(" + ")
+    s"1.0D / (1.0D + exp(-($z + ${b}D)))"
+  }
+
+  /** M12 — per-label precision/recall/F1/support plus the overall accuracy
+    * scalar (repeated per row — relational shape) from (label, predicted)
     * columns, as one aggregation (reference:
-    * precision_recall_fscore_support, src/supervised.py:149-157). */
+    * precision_recall_fscore_support + accuracy print,
+    * src/supervised.py:149-161). The accuracy window runs over the
+    * already-aggregated |labels|-row frame, not the raw data. */
   def prfSupport(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
     val l = col(labelCol); val p = col(predCol)
     val byLabel = df.groupBy(l.as("label")).agg(
       count(lit(1)).as("support"),
       sum(when(p === l, 1).otherwise(0)).as("tp"))
     val byPred = df.groupBy(p.as("label")).agg(count(lit(1)).as("predicted"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
     byLabel.join(byPred, Seq("label"), "full_outer")
       .na.fill(0, Seq("support", "tp", "predicted"))
       .withColumn("precision",
@@ -83,7 +117,32 @@ object Scorer {
         when(col("precision") + col("recall") > 0,
           lit(2.0) * col("precision") * col("recall") /
             (col("precision") + col("recall"))).otherwise(0.0), 6))
-      .select("label", "precision", "recall", "f1", "support")
+      .withColumn("accuracy", round(
+        sum(col("tp")).over(all).cast("double") /
+          greatest(sum(col("support")).over(all), lit(1)).cast("double"), 6))
+      .select("label", "precision", "recall", "f1", "support", "accuracy")
+  }
+
+  /** M11 — deterministic stratified split: within each label, rank rows by
+    * (md5(key), key) and mark the first ceil(n·testNum/testDen) as test —
+    * EXACT per-label proportions (reference: train_test_split(stratify=
+    * labels), src/supervised.py:116), reproducible across runs and
+    * partitionings, no RNG. Integer ceil avoids any float boundary between
+    * engines. Costs one per-label sort (window); a web-scale corpus with a
+    * handful of labels should prefer the approximate per-label
+    * hash-threshold variant instead — exactness is the reference's
+    * semantics, so it is the checked default. */
+  def stratifiedSplit(df: DataFrame, labelCol: String, keyCol: String,
+                      testNum: Int, testDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    val cw = Window.partitionBy(col(labelCol))
+    df.withColumn("rk", row_number().over(w))
+      .withColumn("n_label", count(lit(1)).over(cw))
+      .withColumn("is_test",
+        col("rk") <= expr(s"(n_label * $testNum + ${testDen - 1}) div $testDen"))
+      .drop("rk", "n_label")
   }
 
   /** M19 — confusion matrix as groupBy+pivot

@@ -66,6 +66,29 @@ object Normalize {
     }
   }
 
+  /** P4 — POS-filtered lemmatization (reference: spaCy lemmas kept only for
+    * an allowed POS set, modules/main_corpus_processing.py:64-101): the
+    * lexicon maps token → (lemma, pos); a token is kept iff its POS — from
+    * the lexicon, else `defaultPos` — is in `allowed`, and surviving tokens
+    * are replaced by their lemma (identity for unknown tokens). Broadcast
+    * map literals, order/duplicate-preserving like [[stopFilter]]. */
+  def lemmaLookupPos(tokens: Column, lexicon: Map[String, (String, String)],
+                     allowed: Set[String],
+                     defaultPos: String = "NOUN"): Column = {
+    if (lexicon.isEmpty) {
+      if (allowed.contains(defaultPos)) tokens
+      else array().cast("array<string>")
+    } else {
+      val lemmaMap = map(lexicon.flatMap { case (k, (l, _)) => Seq(lit(k), lit(l)) }.toSeq: _*)
+      val posMap = map(lexicon.flatMap { case (k, (_, p)) => Seq(lit(k), lit(p)) }.toSeq: _*)
+      val allowArr = array(allowed.toSeq.sorted.map(lit): _*)
+      transform(
+        filter(tokens, t =>
+          array_contains(allowArr, coalesce(element_at(posMap, t), lit(defaultPos)))),
+        t => coalesce(element_at(lemmaMap, t), t))
+    }
+  }
+
   /** Default English-ish stoplist (small, deterministic — config, per
     * SURVEY.md P7 "stoplist is config"). */
   val DefaultStops: Seq[String] = Seq(

@@ -20,7 +20,9 @@ object BenchScaling {
     val n = args.headOption.map(_.toLong).getOrElse(4000000L)
     val levels = (if (args.length > 1) args(1) else "8,32").split(",").map(_.toInt)
     val runs = if (args.length > 2) args(2).toInt else 3
-    val input = s"/tmp/graft_bench_input_$n"
+    // SAME generator-versioned cache path as Bench — a divergent path here
+    // reused stale pre-v2 corpora (round-1 ADVICE finding)
+    val input = s"/tmp/graft_bench_input_v2_$n"
     if (!new java.io.File(s"$input/_SUCCESS").exists) {
       val s = session(32); s.sparkContext.setLogLevel("ERROR")
       Transcripts.synthetic(s, n, 20).drop("doc_text")
@@ -28,7 +30,7 @@ object BenchScaling {
       s.stop()
     }
     val results = levels.map { cpus =>
-      val (med, best) = MeasureExtract.inFreshJvm(input, n, cpus, runs)
+      val (med, best, _) = MeasureExtract.inFreshJvm(input, n, cpus, runs)
       println(f"[scaling] local[$cpus]: median $med%.0f best $best%.0f turns/sec (fresh JVM, $runs runs)")
       cpus -> ((med, best))
     }

@@ -1,0 +1,22 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.scale.Scale
+import org.apache.spark.sql.SparkSession
+
+/** Dev scratch: print the EXECUTED (post-AQE) plan of a query — static
+  * explain can't show runtime exchange/stage reuse. */
+object ExecPlan {
+  def main(args: Array[String]): Unit = {
+    val q = args.headOption.getOrElse("q16_tfidf")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = Scale.configure(SparkSession.builder(), 8)
+      .master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.count()
+    println("=== executed plan ===")
+    println(df.queryExecution.executedPlan.toString.take(12000))
+    spark.stop()
+  }
+}

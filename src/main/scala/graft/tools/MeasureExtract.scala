@@ -18,6 +18,7 @@ object MeasureExtract {
     val Array(input, nStr, cStr) = args.take(3)
     val n = nStr.toLong; val cpus = cStr.toInt
     val runs = if (args.length > 3) args(3).toInt else 3
+    val kernel = if (args.length > 4) args(4) else "plain" // plain | scored
     val spark = Scale.configure(
       SparkSession.builder().appName(s"measure-$cpus"), cpus)
       // the bench corpus compresses hard; default 128MB splits + 4MB file
@@ -27,10 +28,20 @@ object MeasureExtract {
       .config("spark.sql.files.openCostInBytes", "262144")
       .master(s"local[$cpus]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def pass(): Unit = Extract.pipeline(spark.read.parquet(input))
-      .agg(count(lit(1)), sum(length(col("text"))), sum(size(col("spans"))))
-      .collect()
-    pass() // warmup: JIT + codegen + page cache
+    def run(df: org.apache.spark.sql.DataFrame) =
+      if (kernel == "scored") Extract.scoredPipeline(df) else Extract.pipeline(df)
+    // row count comes from the pass itself and must equal the CLI-passed
+    // nTurns — a stale or mismatched cached corpus would otherwise silently
+    // skew the headline turns/sec (round-1 ADVICE finding).
+    def pass(): Long = {
+      val row = run(spark.read.parquet(input))
+        .agg(count(lit(1)), sum(length(col("text"))), sum(size(col("spans"))))
+        .collect()(0)
+      row.getLong(0)
+    }
+    val warm = pass() // warmup: JIT + codegen + page cache
+    require(warm == n,
+      s"corpus row count $warm != expected nTurns $n (stale bench cache?)")
     val tps = (1 to runs).map { _ =>
       val t0 = System.nanoTime(); pass()
       n / ((System.nanoTime() - t0) / 1e9)
@@ -42,13 +53,15 @@ object MeasureExtract {
     spark.stop()
   }
 
-  /** Launch MeasureExtract in a fresh child JVM; returns (median, best)
-    * turns/sec over `runs` warm passes. Best-of is the headline capability
-    * number: this sandbox is a Firecracker microVM with noisy-neighbor /
-    * burst-throttling variance of up to 3× — external interference only ever
-    * slows a run down, so max-of-N estimates true capability. */
+  /** Launch MeasureExtract in a fresh child JVM; returns (median, best,
+    * all timed runs in temporal order) turns/sec over `runs` warm passes.
+    * This sandbox is a Firecracker microVM with noisy-neighbor /
+    * burst-throttling variance of up to 3× — callers aggregate raw runs
+    * across interleaved level rounds (Bench) rather than trusting one JVM's
+    * window. */
   def inFreshJvm(input: String, nTurns: Long, cpus: Int, runs: Int = 3,
-                 heap: String = "16g"): (Double, Double) = {
+                 heap: String = "16g",
+                 kernel: String = "plain"): (Double, Double, Seq[Double]) = {
     val javaBin = s"${sys.props("java.home")}/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -63,20 +76,25 @@ object MeasureExtract {
       "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC") ++ addOpens ++
       Seq("-cp", sys.props("java.class.path"), "graft.tools.MeasureExtract",
-        input, nTurns.toString, cpus.toString, runs.toString)
+        input, nTurns.toString, cpus.toString, runs.toString, kernel)
     val out = new java.io.ByteArrayOutputStream
     val p = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(p.getInputStream))
     var line: String = null
     var med = -1.0; var best = -1.0
+    var allRuns: Seq[Double] = Seq.empty
     while ({ line = reader.readLine(); line != null }) {
       if (line.startsWith("TPS_MEDIAN=")) med = line.drop("TPS_MEDIAN=".length).toDouble
       if (line.startsWith("TPS_BEST=")) best = line.drop("TPS_BEST=".length).toDouble
-      if (line.startsWith("TPS_RUNS=")) System.err.println(s"[measure local[$cpus]] $line")
+      if (line.startsWith("TPS_RUNS=")) {
+        System.err.println(s"[measure local[$cpus]] $line")
+        allRuns = line.drop("TPS_RUNS=".length).split(",").toSeq
+          .filter(_.nonEmpty).map(_.toDouble)
+      }
     }
     p.waitFor()
     require(med > 0, s"child JVM produced no TPS_MEDIAN (exit ${p.exitValue()})")
-    (med, best)
+    (med, best, allRuns)
   }
 }

@@ -16,7 +16,7 @@ object LexerProps extends Properties("Lexer") {
 
   property("plain text lexes to one block spanning the payload") =
     forAll(sentence) { s =>
-      Lexer.lex(s, "user") == Seq(graft.core.Block("", "", s, 0, s.length, 0, 0, 0))
+      Lexer.lex(s, "user") == Seq(graft.core.Block.make("", "", s, 0, s.length, 0, 0, 0))
     }
 
   property("markup wrap roundtrips: content recovered byte-exactly") =

@@ -10,7 +10,7 @@ class LexerSpec extends AnyFunSuite {
 
   test("plain text is one block spanning the whole payload") {
     val b = Lexer.lex("hello world", "user")
-    assert(b === Seq(Block("", "", "hello world", 0, 11, 0, 0, 0)))
+    assert(b === Seq(graft.core.Block.make("", "", "hello world", 0, 11, 0, 0, 0)))
   }
 
   test("markup: content div between nav and footer") {
@@ -87,6 +87,26 @@ class LexerSpec extends AnyFunSuite {
     val s = """{"tool":"t","status":"err"}"""
     val blocks = Lexer.lexToolJson(s)
     assert(blocks.head.text === s)
+  }
+
+  test("literal '<' in prose is text, not a swallowed pseudo-tag") {
+    // kindOf flags this Markup (has both < and >), but the lexer must keep
+    // ' b ' — only <letter or </letter opens a tag (round-1 ADVICE fix)
+    val s = "<p>a < b > c</p>"
+    val blocks = Lexer.lexMarkup(s)
+    assert(blocks.size === 1)
+    assert(blocks.head.text === "a < b > c")
+    assert(s.substring(blocks.head.start, blocks.head.end) === "a < b > c")
+  }
+
+  test("whitespace entities never open a block or overshoot the span") {
+    // leading &nbsp; must not set blockStart at whitespace; trailing &nbsp;
+    // must not push end past the trimmed text (round-1 ADVICE fix)
+    val s = "<p>&nbsp;word&nbsp;</p>"
+    val blocks = Lexer.lexMarkup(s)
+    assert(blocks.size === 1)
+    assert(blocks.head.text === "word")
+    assert(s.substring(blocks.head.start, blocks.head.end) === "word")
   }
 
   test("kind detection") {

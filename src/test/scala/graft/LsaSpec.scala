@@ -1,0 +1,80 @@
+package graft
+
+import graft.corpus.Vocab
+import graft.ml.Lsa
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** M2 — LSA tier (reference Entry 3: tfidf → TruncatedSVD → Normalizer →
+  * KMeans). Two disjoint-vocabulary topics must separate cleanly in the
+  * projected space regardless of SVD sign/rotation indeterminacy. */
+class LsaSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // 12 docs, 2 topics with disjoint vocabularies; topic words repeat so the
+  // shared-topic mass dominates each doc's rare suffix token
+  private val docs = (0L until 12L).map { i =>
+    val topic = (i % 2).toInt
+    val base =
+      if (topic == 0) Seq("spark", "catalyst", "shuffle")
+      else Seq("tiger", "jungle", "river")
+    val suffix = if (topic == 0) s"alpha${i % 3}" else s"beta${i % 3}"
+    (i, topic, Seq.fill(3)(base).flatten :+ suffix)
+  }.toDF("doc_id", "topic", "tokens")
+
+  private def projections(k: Int): Map[Long, (Int, Seq[Double])] = {
+    val toks = Vocab.tokensLong(docs, "doc_id", "tokens")
+    val tc = Vocab.termCounts(toks, "doc_id")
+    val vocab = Vocab.buildFromCounts(tc, nDocs = 12)
+    val vocabSize = vocab.count().toInt
+    val tfidf = Vocab.tfidfFromCounts(tc, vocab, "doc_id", nDocs = 12)
+    val proj = Lsa.project(tfidf, "doc_id", "tfidf", vocabSize, k)
+    proj.join(docs.select("doc_id", "topic"), Seq("doc_id"))
+      .select("doc_id", "topic", "projection")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Double](2))))
+      .toMap
+  }
+
+  private def cos(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum // vectors are L2-normalized
+
+  test("projections have dimension k and unit norm") {
+    val p = projections(3)
+    assert(p.values.forall(_._2.length == 3))
+    p.values.foreach { case (_, v) =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+  }
+
+  test("disjoint topics separate: within-topic cosine >> cross-topic") {
+    val p = projections(2).values.toSeq
+    val pairs = for {
+      (ta, va) <- p; (tb, vb) <- p if va != vb
+    } yield (ta == tb, cos(va, vb))
+    val within = pairs.filter(_._1).map(_._2)
+    val cross = pairs.filterNot(_._1).map(_._2)
+    assert(within.min > 0.5, s"within-topic cosine too low: ${within.min}")
+    assert(cross.max < 0.5, s"cross-topic cosine too high: ${cross.max}")
+  }
+
+  test("k-means over the LSA space recovers the two topics exactly") {
+    val toks = Vocab.tokensLong(docs, "doc_id", "tokens")
+    val tc = Vocab.termCounts(toks, "doc_id")
+    val vocab = Vocab.buildFromCounts(tc, nDocs = 12)
+    val tfidf = Vocab.tfidfFromCounts(tc, vocab, "doc_id", nDocs = 12)
+    val proj = Lsa.project(tfidf, "doc_id", "tfidf", vocab.count().toInt, k = 2)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = proj.withColumn("features",
+      array_to_vector(col("projection").cast("array<double>")))
+    val model = new KMeans().setK(2).setSeed(7L).setMaxIter(10)
+      .setFeaturesCol("features").fit(feat)
+    val assigned = model.transform(feat)
+      .join(docs.select("doc_id", "topic"), Seq("doc_id"))
+      .groupBy("topic", "prediction").count().collect()
+    // each topic maps to exactly one cluster
+    assert(assigned.length === 2)
+  }
+}

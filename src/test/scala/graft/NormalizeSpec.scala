@@ -62,4 +62,28 @@ class NormalizeSpec extends AnyFunSuite {
         Normalize.tokenize(col("text")), Map("dogs" -> "dog")))
     assert(df.select("t").as[Seq[String]].head() === Seq("dog", "see", "dog"))
   }
+
+  test("P4: POS allowlist filters, lemma map rewrites, unknowns default NOUN") {
+    val lex = Map(
+      "running" -> (("run", "VERB")),
+      "tables" -> (("table", "NOUN")),
+      "quickly" -> (("quick", "ADV")))
+    val df = Seq((0L, Seq("running", "tables", "quickly", "unknownword")))
+      .toDF("doc_id", "tokens")
+    val out = df.select(
+      Normalize.lemmaLookupPos(col("tokens"), lex, Set("NOUN", "VERB"))
+        .as("out")).head().getSeq[String](0)
+    // ADV dropped; lemmas applied; unknown passes as default NOUN
+    assert(out === Seq("run", "table", "unknownword"))
+  }
+
+  test("P4: empty lexicon honors the default POS against the allowlist") {
+    val df = Seq((0L, Seq("a", "b"))).toDF("doc_id", "tokens")
+    val kept = df.select(Normalize.lemmaLookupPos(col("tokens"),
+      Map.empty, Set("NOUN")).as("out")).head().getSeq[String](0)
+    assert(kept === Seq("a", "b"))
+    val dropped = df.select(Normalize.lemmaLookupPos(col("tokens"),
+      Map.empty, Set("VERB")).as("out")).head().getSeq[String](0)
+    assert(dropped === Seq.empty)
+  }
 }

@@ -66,4 +66,25 @@ class ScorerSpec extends AnyFunSuite {
     assert(m(0).getString(0) === "a" && m(0).getLong(1) === 1L && m(0).getLong(2) === 1L)
     assert(m(1).getString(0) === "b" && m(1).getLong(1) === 0L && m(1).getLong(2) === 1L)
   }
+
+  test("M11: stratified split takes exactly ceil(3n/10) test rows per label") {
+    val df = (0L until 100L).map(i => (i, (i % 3).toInt)).toDF("k", "lbl")
+    val out = Scorer.stratifiedSplit(df, "lbl", "k", 3, 10)
+    // label counts: 34, 33, 33 -> ceil(3n/10) = 11, 10, 10
+    val perLabel = out.filter(col("is_test"))
+      .groupBy("lbl").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perLabel === Map(0 -> 11L, 1 -> 10L, 2 -> 10L))
+    // deterministic under repartitioning
+    val out2 = Scorer.stratifiedSplit(df.repartition(7), "lbl", "k", 3, 10)
+    assert(out.exceptAll(out2).count() === 0)
+  }
+
+  test("M12: accuracy column is the overall tp ratio") {
+    val df = Seq(("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"), ("b", "a"))
+      .toDF("label", "pred")
+    val acc = Scorer.prfSupport(df, "label", "pred")
+      .select("accuracy").distinct().head().getDouble(0)
+    assert(acc === 0.6) // 3 of 5 correct
+  }
 }
