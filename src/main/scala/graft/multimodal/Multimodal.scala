@@ -32,6 +32,28 @@ object Multimodal {
     }.toDF()
   }
 
+  /** S3 — the REAL distributed blob source: `binaryFile` reads a directory
+    * of media files as (path, modificationTime, length, content), exactly
+    * the reference's os.listdir + per-file open re-expressed as a Spark
+    * data source (reference: modules/image_ocr.py:11-36 walks a TIFF dir
+    * and shells tesseract per file). Media kind/codec come from the file
+    * extension; width/height/duration stay 0 until the (stubbed) decode
+    * stage fills them. Round 1 only had the synthetic stand-in. */
+  def fromBinaryFiles(spark: SparkSession, dir: String): DataFrame = {
+    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    val kind = when(ext.isin("png", "jpg", "jpeg", "tif", "tiff", "bmp"), "image")
+      .when(ext.isin("wav", "mp3", "flac"), "audio")
+      .when(ext.isin("mp4", "avi", "mkv"), "video")
+      .otherwise("binary")
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("path"),
+        col("content").as("payload"),
+        struct(kind.as("kind"), lit(0).as("width"), lit(0).as("height"),
+          lit(0).as("durationMs"), ext.as("codec")).as("meta"))
+  }
+
   /** S3-analog of `img_info` (modules/image_ocr.py:11-26): metadata
     * distribution without touching payload bytes — column pruning means the
     * binary column is never read from disk for this query. */

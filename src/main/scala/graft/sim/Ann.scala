@@ -51,31 +51,62 @@ object Ann {
 
   /** Random-hyperplane sign bucket: `bits` pseudo-random hyperplanes, the
     * sign of dot(v, h_i) contributes bit i. Hyperplane coefficients are
-    * deterministic arithmetic of (bit, dim) — no RNG, stable across runs. */
+    * deterministic arithmetic of (bit, dim) — no RNG, stable across runs.
+    * Each projection is ONE aggregate lambda with the coefficient computed
+    * arithmetically from the element index, so the expression tree is
+    * O(bits) — round 1 unrolled dim×bits element_at nodes, which blows up
+    * codegen at dim ≥ 128. */
   def hyperplaneBucket(vec: Column, dim: Int, bits: Int): Column = {
+    val idx = sequence(lit(0), lit(dim - 1))
     (0 until bits).map { b =>
       // h_b[d] = ((b*dim + d) * 2654435761 mod 1024) - 512 : fixed pseudo-noise
-      val coef = (d: Int) => ((b.toLong * dim + d) * 2654435761L % 1024L - 512L).toDouble
-      val proj = (0 until dim).map(d => element_at(vec, d + 1).cast("double") * lit(coef(d)))
-        .reduce(_ + _)
+      val proj = aggregate(
+        zip_with(vec, idx, (x, d) =>
+          x.cast("double") *
+            (pmod((lit(b.toLong) * dim + d) * lit(2654435761L), lit(1024L))
+              - 512L).cast("double")),
+        lit(0.0d), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1), b)).otherwise(lit(0))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** LSH-bucketed ANN top-k: candidates = same-bucket pairs (plus probe's
-    * bucket only — recall traded for the 2^bits candidate reduction). */
+  /** Bits sized to the corpus: buckets ≈ n / 2^bits, so pick
+    * bits = ceil(log2(n / targetBucket)) clamped to [4, 24] — a fixed
+    * default (round 1: bits=8 always) leaves n²/256 candidates per bucket
+    * at web scale. */
+  def bitsFor(n: Long, targetBucket: Int = 256): Int = {
+    val raw = math.ceil(math.log(math.max(n, 1).toDouble / targetBucket)
+      / math.log(2.0)).toInt
+    math.min(24, math.max(4, raw))
+  }
+
+  /** LSH-bucketed ANN top-k. Candidates = same-bucket pairs; with
+    * `multiProbe` the probe ALSO visits every bucket at Hamming distance 1
+    * from its own (bits+1 buckets per probe) — the standard multi-probe
+    * recall recovery for sign-LSH, costing (bits+1)× probe-side rows while
+    * the corpus is still bucketed once. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, key: String, vec: String,
-              k: Int, dim: Int, bits: Int = 8): DataFrame = {
+              k: Int, dim: Int, bits: Int = 8,
+              multiProbe: Boolean = true): DataFrame = {
     val c = corpus.select(col(key).as("c_key"), col(vec).as("c_vec"),
       hyperplaneBucket(col(vec), dim, bits).as("bucket"))
-    val p = probes.select(col(key).as("p_key"), col(vec).as("p_vec"),
+    val p0 = probes.select(col(key).as("p_key"), col(vec).as("p_vec"),
       hyperplaneBucket(col(vec), dim, bits).as("bucket"))
+    val p =
+      if (!multiProbe) p0
+      else p0.select(col("p_key"), col("p_vec"),
+        explode(array(col("bucket") +:
+          (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1 << i))): _*))
+          .as("bucket"))
     val scored = c.join(p, Seq("bucket"))
       .filter(col("c_key") =!= col("p_key"))
       .withColumn("cos", round(cosine(col("c_vec"), col("p_vec")), 6))
+    // a probe can meet the same corpus row in several probed buckets —
+    // dedup before ranking
     val w = Window.partitionBy(col("p_key"))
       .orderBy(col("cos").desc, col("c_key").asc)
-    scored.withColumn("rk", row_number().over(w))
+    scored.select("p_key", "c_key", "cos").distinct()
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("p_key"), col("c_key"), col("cos"), col("rk"))
   }

@@ -39,9 +39,22 @@ object MeasureExtract {
         .collect()(0)
       row.getLong(0)
     }
-    val warm = pass() // warmup: JIT + codegen + page cache
+    // Warmup: JIT + codegen + page cache + the HOST's CPU ramp — this
+    // Firecracker host serves sustained load slowly for the first ~5
+    // passes/~40 s and the ramp resets between JVMs, so a short-lived JVM
+    // at high parallelism (fast passes) never reaches the plateau and
+    // biases scaling ratios LOW (measured round 2: 2-pass JVMs gave
+    // eff(4→16)≈0.6 while plateau passes give ≥0.85). Warm by elapsed
+    // time, not pass count.
+    val wt0 = System.nanoTime()
+    val warm = pass()
     require(warm == n,
       s"corpus row count $warm != expected nTurns $n (stale bench cache?)")
+    var wpasses = 1
+    while ((System.nanoTime() - wt0) / 1e9 < 40.0 && wpasses < 12) {
+      pass(); wpasses += 1
+    }
+    System.err.println(s"WARMUP_PASSES=$wpasses")
     val tps = (1 to runs).map { _ =>
       val t0 = System.nanoTime(); pass()
       n / ((System.nanoTime() - t0) / 1e9)

@@ -45,4 +45,27 @@ class AnnSpec extends AnyFunSuite {
       .select("p_key", "cos").as[(Long, Double)].collect()
     lshTop.foreach { case (p, c) => assert(c <= bruteTop(p) + 1e-9) }
   }
+
+  test("multi-probe never ranks a worse top-1 than single-bucket") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 5)
+    val single = Ann.lshTopK(emb, probes, "vec_id", "embedding", 5,
+        dim = 64, bits = 6, multiProbe = false)
+      .filter(col("rk") === 1).select("p_key", "cos")
+      .as[(Long, Double)].collect().toMap
+    val multi = Ann.lshTopK(emb, probes, "vec_id", "embedding", 5,
+        dim = 64, bits = 6, multiProbe = true)
+      .filter(col("rk") === 1).select("p_key", "cos")
+      .as[(Long, Double)].collect().toMap
+    // multi-probe candidates are a superset, so its best hit per probe is
+    // at least as good wherever the single-bucket variant found one at all
+    single.foreach { case (pk, c) => assert(multi(pk) >= c - 1e-9) }
+    assert(multi.size >= single.size)
+  }
+
+  test("bitsFor scales bucket count with corpus size") {
+    assert(Ann.bitsFor(1000, 256) === 4)       // clamp floor
+    assert(Ann.bitsFor(1000000, 256) === 12)   // ceil(log2(3906)) = 12
+    assert(Ann.bitsFor(100000000000L, 256) === 24) // clamp ceiling
+  }
 }

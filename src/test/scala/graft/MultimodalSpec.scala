@@ -1,0 +1,63 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** S3 binaryFile source + multimodal plumbing (reference:
+  * modules/image_ocr.py:11-36 — dir walk + per-file OCR, re-expressed as
+  * Spark's binaryFile source feeding the decode/feature stages). */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("binaryFile source reads blobs with kind/codec from the extension") {
+    val dir = Files.createTempDirectory("graft_blobs")
+    val payloads = Map(
+      "a.tif" -> Array[Byte](1, 2, 3, 4),
+      "b.png" -> Array[Byte](9, 8, 7),
+      "c.wav" -> Array[Byte](5, 5),
+      "d.bin" -> Array[Byte](0))
+    payloads.foreach { case (name, bytes) =>
+      Files.write(Paths.get(dir.toString, name), bytes)
+    }
+    val media = Multimodal.fromBinaryFiles(spark, dir.toString)
+    val rows = media.select(
+        element_at(split(col("path"), "/"), -1).as("name"),
+        col("meta.kind"), col("meta.codec"), length(col("payload")).as("len"))
+      .as[(String, String, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows("a.tif") === (("image", "tif", 4)))
+    assert(rows("b.png") === (("image", "png", 3)))
+    assert(rows("c.wav") === (("audio", "wav", 2)))
+    assert(rows("d.bin") === (("binary", "bin", 1)))
+    // payload bytes round-trip
+    val aBytes = media.filter(col("path").endsWith("a.tif"))
+      .select("payload").as[Array[Byte]].head()
+    assert(aBytes.toSeq === Seq[Byte](1, 2, 3, 4))
+  }
+
+  test("binaryFile blobs flow through the feature-extraction stage") {
+    val dir = Files.createTempDirectory("graft_blobs2")
+    Files.write(Paths.get(dir.toString, "x.tif"),
+      Array.tabulate[Byte](64)(i => i.toByte))
+    val feats = Multimodal.extractFeatures(
+      Multimodal.fromBinaryFiles(spark, dir.toString))
+    val vec = feats.select("features").as[Array[Float]].head()
+    assert(vec.length === 8)
+    assert(math.abs(vec.sum - 1.0f) < 1e-6) // histogram fractions sum to 1
+  }
+
+  test("metadata scan prunes the payload column from the binaryFile read") {
+    val dir = Files.createTempDirectory("graft_blobs3")
+    Files.write(Paths.get(dir.toString, "y.png"), Array[Byte](1, 2))
+    val dist = Multimodal.metaDistribution(
+      Multimodal.fromBinaryFiles(spark, dir.toString))
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(!plan.contains("content#") || !plan.split("ReadSchema")(1).contains("content"),
+      "payload column should be pruned from the scan")
+    assert(dist.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq(("image", "png")))
+  }
+}
