@@ -315,6 +315,16 @@ object SparkEntry {
             .as(Seq("h_idx", "minhash")))
     }),
 
+    // MinHash+LSH end-to-end (md5-portable hash family): banding, bucket
+    // join and slot-match estimate all replayed by the DuckDB oracle —
+    // round 1 only oracle-checked the signatures (q29).
+    "q45_minhash_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      Dedup.minhashLshMd5(docs, "doc_id", "tokens", k = 3,
+        numHashes = 16, bands = 4)
+    }),
+
     // M11 — TRUE stratified split: exactly ceil(3n/10) test rows per label,
     // deterministic hash order (round 1 shipped a plain hash split that did
     // not preserve class proportions on skewed labels).
@@ -777,6 +787,42 @@ object SparkEntry {
            min((hv * ((1000000007 * (h_idx + 1)) % 2147483647)
                 + ((998244353 * (h_idx * h_idx + 1)) % 2147483647)) % 2147483647) AS minhash
          FROM h, hi GROUP BY 1, 2""",
+
+    "q45_minhash_lsh" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE doc_id % 10 = 0),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - 2, 1)),
+             i -> array_to_string(w[i:i+2], ' ')))) AS sh
+           FROM d),
+         h AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 8))::BIGINT % 2147483647 AS hv
+           FROM sh),
+         hi AS (SELECT unnest(generate_series(0, 15)) AS h_idx),
+         sig AS (
+           SELECT doc_id, h_idx,
+             min((hv * ((1000000007 * (h_idx + 1)) % 2147483647)
+                  + ((998244353 * (h_idx * h_idx + 1)) % 2147483647)) % 2147483647) AS mh
+           FROM h, hi GROUP BY 1, 2),
+         band AS (
+           SELECT doc_id, h_idx // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), ':' ORDER BY h_idx) AS bucket
+           FROM sig GROUP BY 1, 2),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         m AS (
+           SELECT p.key_a, p.key_b,
+             sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS slots
+           FROM pairs p
+           JOIN sig sa ON sa.doc_id = p.key_a
+           JOIN sig sb ON sb.doc_id = p.key_b AND sb.h_idx = sa.h_idx
+           GROUP BY 1, 2)
+         SELECT key_a, key_b, round(slots / 16.0, 6) AS est_jaccard FROM m""",
 
     "q32_split" ->
       """SELECT vec_id, CAST(label AS INT) AS label,

@@ -130,11 +130,28 @@ object Dedup {
     * boilerplate and surface via exact dedup instead). 0 disables. */
   def minhashLsh(df: DataFrame, key: String, tokens: String, k: Int = 3,
                  numHashes: Int = 16, bands: Int = 4,
-                 maxBucket: Long = 0): DataFrame = {
+                 maxBucket: Long = 0): DataFrame =
+    minhashLshFromSig(
+      df.select(col(key).as("k"),
+        minhashSignature(col(tokens), k, numHashes).as("sig")),
+      numHashes, bands, maxBucket)
+
+  /** md5-portable variant of [[minhashLsh]] — identical banding over the
+    * [[minhashSignatureMd5]] hash family, so the driver's DuckDB oracle can
+    * replay the WHOLE candidate-generation path (banding + bucket join +
+    * slot-match estimate), not just the signatures. */
+  def minhashLshMd5(df: DataFrame, key: String, tokens: String, k: Int = 3,
+                    numHashes: Int = 16, bands: Int = 4,
+                    maxBucket: Long = 0): DataFrame =
+    minhashLshFromSig(
+      df.select(col(key).as("k"),
+        minhashSignatureMd5(col(tokens), k, numHashes).as("sig")),
+      numHashes, bands, maxBucket)
+
+  private def minhashLshFromSig(sig: DataFrame, numHashes: Int, bands: Int,
+                                maxBucket: Long): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = df.select(col(key).as("k"),
-      minhashSignature(col(tokens), k, numHashes).as("sig"))
     val bandedAll = sig.select(col("k"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),

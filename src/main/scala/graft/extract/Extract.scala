@@ -170,22 +170,44 @@ object Extract {
       """))
 
   /** Full kernel: transcripts in → (conv_id, turn_idx, extracted, spans).
+    * The hot path is the NATIVE fused expression ([[ExtractTurnExpr]]) —
+    * one pass, no interpreted higher-order-function machinery, projection
+    * stays in whole-stage codegen. [[pipelineComposed]] is the
+    * built-ins-only expression of the same semantics, pinned equal by
+    * ExtractSpec (and both answer to the same DuckDB oracle).
     * Quarantine semantics (reference: src/doc_classification.py:75-105 —
     * empty-BOW docs moved aside): rows whose payload yields zero content
     * blocks are NOT dropped; they surface with empty text so that
     * main ∪ quarantine reconciles with the input (FIXTURES.md family 8). */
   def pipeline(turns: DataFrame): DataFrame =
+    turns.select(col("conv_id"), col("turn_idx"),
+        ExtractTurnExpr.extractTurn(col("text"), col("role")).as("x"))
+      .select(col("conv_id"), col("turn_idx"),
+        col("x.text").as("text"), col("x.spans").as("spans"))
+
+  /** The composed (built-ins/HOF) spelling of [[pipeline]] — kept as the
+    * readable reference semantics and the cross-check target. */
+  def pipelineComposed(turns: DataFrame): DataFrame =
     extracted(classified(lexed(turns)))
       .select(col("conv_id"), col("turn_idx"),
         col("extracted").as("text"), col("spans"))
 
-  /** Full kernel with the E4 neural arbiter in the loop:
-    * lex → fused score+label ([[scoreLabeled]], one array pass) → reassemble.
-    * Same output contract as [[pipeline]]. */
+  /** Full kernel with the E4 neural arbiter in the loop — native fused
+    * expression. Same output contract as [[pipeline]]. */
   def scoredPipeline(turns: DataFrame,
                      w: Seq[Double] = graft.score.Scorer.DefaultW,
                      b: Double = graft.score.Scorer.DefaultB,
                      threshold: Double = 0.5): DataFrame =
+    turns.select(col("conv_id"), col("turn_idx"),
+        ExtractTurnExpr.extractTurnScored(col("text"), col("role"), w, b, threshold).as("x"))
+      .select(col("conv_id"), col("turn_idx"),
+        col("x.text").as("text"), col("x.spans").as("spans"))
+
+  /** Composed (HOF) spelling of [[scoredPipeline]] — cross-check target. */
+  def scoredPipelineComposed(turns: DataFrame,
+                             w: Seq[Double] = graft.score.Scorer.DefaultW,
+                             b: Double = graft.score.Scorer.DefaultB,
+                             threshold: Double = 0.5): DataFrame =
     extracted(scoreLabeled(lexed(turns), w, b, threshold))
       .select(col("conv_id"), col("turn_idx"),
         col("extracted").as("text"), col("spans"))
@@ -193,8 +215,8 @@ object Extract {
   /** Rows that produced no content — the quarantine table (S13 analog),
     * with a reason column instead of a filesystem rename. */
   def quarantine(turns: DataFrame): DataFrame =
-    extracted(classified(lexed(turns)))
-      .filter(col("extracted") === lit(""))
+    pipeline(turns)
+      .filter(col("text") === lit(""))
       .select(col("conv_id"), col("turn_idx"),
         lit("no_content_blocks").as("reason"))
 }

@@ -3,34 +3,67 @@ package graft.extract
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** E1 as a native Catalyst expression: `lex_blocks(text, role)` →
-  * array<struct<tag,path,text,start,end,nTags,nLinks,linkChars>>.
+  * array<struct<tag,path,text,start,end,nTags,nLinks,linkChars,
+  * nWords,nStops,nDigits>>.
   *
   * A Scala `udf` returning Seq[Block] pays the reflection-encoder round
   * trip (external Row ↔ InternalRow) per block per turn; this expression
   * builds `ArrayData` of `GenericInternalRow` directly — the same lexer
-  * kernel with none of the boundary cost. CodegenFallback is fine: the
-  * function body dwarfs one virtual call, and the surrounding projection
-  * stays inside whole-stage codegen.
+  * kernel with none of the boundary cost. [[doGenCode]] emits a single
+  * static call into [[LexBlocksExpr.lexToArrayData]], so the surrounding
+  * projection keeps whole-stage codegen WITHOUT the CodegenFallback row
+  * plumbing (fallback forces an InternalRow materialization per call and
+  * can deoptimize the enclosing stage).
   */
 case class LexBlocksExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LexBlocksExpr.BlockArrayType
   override def nullable: Boolean = false
   override def prettyName: String = "lex_blocks"
 
-  override def eval(input: InternalRow): Any = {
-    val textAny = left.eval(input)
-    val roleAny = right.eval(input)
-    val text = if (textAny == null) null else textAny.toString
-    val role = if (roleAny == null) "" else roleAny.toString
-    val blocks = Lexer.lex(text, role)
+  override def eval(input: InternalRow): Any =
+    LexBlocksExpr.lexToArrayData(
+      left.eval(input).asInstanceOf[UTF8String],
+      right.eval(input).asInstanceOf[UTF8String])
+
+  override protected def nullSafeEval(t: Any, r: Any): Any =
+    throw new IllegalStateException("eval is overridden")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(
+      code = code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        $arrCls ${ev.value} = graft.extract.LexBlocksExpr$$.MODULE$$.lexToArrayData(
+          ${leftGen.isNull} ? null : ${leftGen.value},
+          ${rightGen.isNull} ? null : ${rightGen.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LexBlocksExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object LexBlocksExpr {
+  /** Shared kernel for interpreted eval AND generated code (called as a
+    * static from whole-stage-codegen'd projections). */
+  def lexToArrayData(text: UTF8String, role: UTF8String): ArrayData = {
+    val t = if (text == null) null else text.toString
+    val r = if (role == null) "" else role.toString
+    val blocks = Lexer.lex(t, r)
     val rows = new Array[Any](blocks.length)
     var i = 0
     while (i < blocks.length) {
@@ -44,15 +77,6 @@ case class LexBlocksExpr(left: Expression, right: Expression)
     new GenericArrayData(rows)
   }
 
-  override protected def nullSafeEval(t: Any, r: Any): Any =
-    throw new IllegalStateException("eval is overridden")
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): LexBlocksExpr =
-    copy(left = newLeft, right = newRight)
-}
-
-object LexBlocksExpr {
   val BlockStructType: StructType = StructType(Seq(
     StructField("tag", StringType, nullable = false),
     StructField("path", StringType, nullable = false),

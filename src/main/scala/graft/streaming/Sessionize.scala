@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming sessionization — the streaming twin of the batch
+  * window sessionizer (SparkEntry q35): a gap > `gapUs` between consecutive
+  * events of one user opens a new session. Per-user state
+  * (last event time, running session index) lives in
+  * `flatMapGroupsWithState`, so sessions span micro-batches — the
+  * "custom state" tier of the Structured Streaming mandate
+  * (KeyValueGroupedDataset.flatMapGroupsWithState).
+  *
+  * Ordering contract: events are processed in (ts, event_id) order WITHIN
+  * each micro-batch (the group iterator is sorted here); cross-batch order
+  * is the source's responsibility (bounded lateness via watermark +
+  * ordered replay). StreamingSessionSpec pins batch ≡ streaming equality
+  * across a multi-batch replay. */
+object Sessionize {
+
+  final case class SessionEvent(event_id: Long, user_id: Long, us: Long)
+  final case class SessionState(lastUs: Long, idx: Long)
+  final case class SessionAssign(event_id: Long, user_id: Long, session_idx: Long)
+
+  /** Works on both a streaming and a batch frame with columns
+    * (event_id, user_id, ts). Output: (event_id, user_id, session_idx),
+    * session_idx 1-based per user — identical to the batch q35 rule. */
+  def assign(events: DataFrame, gapUs: Long = 600000000L): Dataset[SessionAssign] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = it.toArray.sortBy(e => (e.us, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val out = sorted.map { e =>
+            val newSess = st.lastUs == Long.MinValue || e.us - st.lastUs > gapUs
+            st = SessionState(e.us, if (newSess) st.idx + 1 else st.idx)
+            SessionAssign(e.event_id, e.user_id, st.idx)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

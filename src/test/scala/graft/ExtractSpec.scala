@@ -88,4 +88,20 @@ class ExtractSpec extends AnyFunSuite {
       .join(out, Seq("conv_id", "turn_idx"))
     assert(joined.filter(col("text") =!= col("doc_text")).count() === 0)
   }
+
+  test("native fused kernel equals the composed HOF kernel (rule + scored)") {
+    import graft.core.Transcripts
+    val turns = Transcripts.synthetic(spark, 400, 10).drop("doc_text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("conv_id"), col("turn_idx"), col("text"),
+      col("spans").cast("array<struct<start:int,end:int,label:string>>").as("spans"))
+    val nat = canon(Extract.pipeline(turns))
+    val comp = canon(Extract.pipelineComposed(turns))
+    assert(nat.exceptAll(comp).count() === 0)
+    assert(comp.exceptAll(nat).count() === 0)
+    val natS = canon(Extract.scoredPipeline(turns))
+    val compS = canon(Extract.scoredPipelineComposed(turns))
+    assert(natS.exceptAll(compS).count() === 0)
+    assert(compS.exceptAll(natS).count() === 0)
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import graft.streaming.Sessionize
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Stateful streaming sessionization: session indices must equal the batch
+  * window sessionizer's (q35 rule) even when a user's events arrive across
+  * SEVERAL micro-batches — per-user state carries (lastTs, sessionIdx)
+  * between triggers. */
+class StreamingSessionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // 3 users × 12 events each; gaps engineered so sessions break mid-stream
+  private def events = (0 until 36).map { i =>
+    val user = i % 3
+    val seq = i / 3 // 0..11 per user
+    // 5-minute steps, with a 20-minute jump after the 4th and 8th event
+    val jumpMin = (if (seq > 3) 20 else 0) + (if (seq > 7) 20 else 0)
+    val ts = new Timestamp(1704067200000L + user * 1000L +
+      (seq * 5 + jumpMin) * 60000L)
+    (i.toLong, user.toLong, ts)
+  }
+
+  private def batchSessionize(df: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts").cast("timestamp"))
+    df.withColumn("prev_us", lag(us, 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || (us - col("prev_us")) > 600000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("event_id"), col("user_id"), col("session_idx"))
+  }
+
+  test("batch mode: flatMapGroupsWithState agrees with the window sessionizer") {
+    val df = events.toDF("event_id", "user_id", "ts")
+    val stateful = Sessionize.assign(df).toDF()
+    val windowed = batchSessionize(df)
+    assert(stateful.exceptAll(windowed).count() === 0)
+    assert(windowed.exceptAll(stateful).count() === 0)
+    // sanity: 3 sessions per user by construction
+    assert(stateful.groupBy("user_id").agg(max("session_idx")).collect()
+      .forall(_.getLong(1) === 3L))
+  }
+
+  test("streaming: sessions span micro-batches via group state") {
+    val tmp = Files.createTempDirectory("graft_sess").toString
+    val df = events.toDF("event_id", "user_id", "ts")
+    // ordered replay: three chunks by event-time, one file each, replayed
+    // one file per trigger → per-user state must persist across 3 batches
+    val chunks = Seq(0 until 12, 12 until 24, 24 until 36)
+    chunks.zipWithIndex.foreach { case (r, i) =>
+      events.slice(r.start, r.end).toDF("event_id", "user_id", "ts")
+        .coalesce(1).write.parquet(s"$tmp/in/c$i")
+    }
+    val stream = spark.readStream
+      .schema("event_id LONG, user_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/in/*")
+    val q = Sessionize.assign(stream).toDF()
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sess_out")
+    val batch = batchSessionize(df)
+    assert(streamed.count() === 36)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+}
