@@ -51,7 +51,7 @@ object MeasureExtract {
     require(warm == n,
       s"corpus row count $warm != expected nTurns $n (stale bench cache?)")
     var wpasses = 1
-    while ((System.nanoTime() - wt0) / 1e9 < 40.0 && wpasses < 12) {
+    while ((System.nanoTime() - wt0) / 1e9 < 40.0 && wpasses < 24) {
       pass(); wpasses += 1
     }
     System.err.println(s"WARMUP_PASSES=$wpasses")

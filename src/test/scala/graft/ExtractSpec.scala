@@ -104,4 +104,40 @@ class ExtractSpec extends AnyFunSuite {
     assert(natS.exceptAll(compS).count() === 0)
     assert(compS.exceptAll(natS).count() === 0)
   }
+
+  test("native == composed on adversarial pseudo-random payloads") {
+    // deterministic LCG over a vocabulary of fragments designed to hit the
+    // lexer's edge paths: real tags, void/drop tags, entities, literal '<',
+    // digits, %PDFISH lines, tool JSON, mis-nesting
+    val frags = Array(
+      "<div>", "</div>", "<p>", "</p>", "<nav>", "</nav>", "<a href=\"#\">",
+      "</a>", "<br/>", "<script>", "</script>", "&amp;", "&nbsp;", "&lt;",
+      "plain words here", "a < b > c", "12 34 56", "the quick fox", "x",
+      "  ", "%PDFISH\n10 10 line one", "{\"result\":\"tool text\"}",
+      "<h1>head</h1>", "</span>", "<UNclosed", "&bogus;")
+    var seed = 12345L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val payloads = (0 until 200).map { i =>
+      val n = 1 + nextInt(12)
+      val body = (0 until n).map(_ => frags(nextInt(frags.length))).mkString(" ")
+      (s"c${i % 7}", i, Seq("user", "assistant", "tool")(i % 3), body,
+        null.asInstanceOf[String], java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    }
+    import spark.implicits._
+    val turns = payloads.toSeq.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("conv_id"), col("turn_idx"), col("text"),
+      col("spans").cast("array<struct<start:int,end:int,label:string>>").as("spans"))
+    val nat = canon(Extract.pipeline(turns))
+    val comp = canon(Extract.pipelineComposed(turns))
+    assert(nat.exceptAll(comp).count() === 0)
+    assert(comp.exceptAll(nat).count() === 0)
+    val natS = canon(Extract.scoredPipeline(turns))
+    val compS = canon(Extract.scoredPipelineComposed(turns))
+    assert(natS.exceptAll(compS).count() === 0)
+    assert(compS.exceptAll(natS).count() === 0)
+  }
 }
