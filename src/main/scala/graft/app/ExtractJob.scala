@@ -1,32 +1,35 @@
 package graft.app
 
 import graft.extract.Extract
-import graft.scale.Scale
+import graft.scale.{Scale, TableIO}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** spark-submit entrypoint (SURVEY.md §7 item 9): read a transcripts table →
-  * extraction kernel → resumable keyed write, with observed metrics.
+  * extraction kernel → resumable keyed write → atomic snapshot publish,
+  * with observed metrics.
   *
   * Usage:
   *   spark-submit --class graft.app.ExtractJob <jar> \
-  *     <inputPath> <outPath> <manifestPath> [nBuckets] [salts]
+  *     <inputPath> <tableDir> [nBuckets] [salts]
   *
   * Scale posture (north_rule): input is read as-is (at 10^12 turns this is
   * an Iceberg table with bucket(conv_id) partitioning; here a parquet dir);
   * the per-turn kernel is embarrassingly parallel after a salted
   * repartition that breaks up skewed long conversations; the write is
-  * bucket-partitioned and manifest-guarded so a resumed run recomputes only
-  * unfinished buckets. Metrics come from `observe` (Spark-native, no
-  * driver-side collect).
+  * bucket-partitioned and manifest-guarded INSIDE an unpublished snapshot
+  * directory, so a resumed run recomputes only unfinished buckets AND
+  * readers of the published table never see a torn write — the snapshot
+  * becomes visible only at the final atomic pointer flip (TableIO).
+  * Metrics come from `observe` (Spark-native, no driver-side collect).
   */
 object ExtractJob {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3,
-      "usage: ExtractJob <inputPath> <outPath> <manifestPath> [nBuckets] [salts]")
-    val Array(in, out, manifest) = args.take(3)
-    val nBuckets = if (args.length > 3) args(3).toInt else Scale.DefaultBuckets
-    val salts = if (args.length > 4) args(4).toInt else 16
+    require(args.length >= 2,
+      "usage: ExtractJob <inputPath> <tableDir> [nBuckets] [salts]")
+    val Array(in, table) = args.take(2)
+    val nBuckets = if (args.length > 2) args(2).toInt else Scale.DefaultBuckets
+    val salts = if (args.length > 3) args(3).toInt else 16
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Scale.configure(
@@ -36,6 +39,24 @@ object ExtractJob {
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()
+    val (snap, written) = run(spark, in, table, nBuckets, salts, cpus)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[extract-job] wrote $written%d turns in $secs%.1f s " +
+      f"(${written / secs}%.0f turns/sec) to $table/$snap (published)")
+    spark.stop()
+  }
+
+  /** Job body (main minus session lifecycle — testable): returns
+    * (published snapshot, rows written). */
+  def run(spark: SparkSession, in: String, table: String, nBuckets: Int,
+          salts: Int, cpus: Int): (String, Long) = {
+    // resume the newest UNPUBLISHED staging snapshot (a previous failed
+    // attempt), else open a fresh one; publish flips the pointer only after
+    // every bucket is present, so readers never see a partial table.
+    val current = TableIO.currentSnapshot(spark, table)
+    val snap = TableIO.snapshots(spark, table)
+      .filter(s => current.forall(_ < s)).lastOption
+      .getOrElse(TableIO.nextSnapshotName(spark, table))
     val turns = spark.read.parquet(in)
     val salted = Scale.saltedRepartition(
       turns, partitions = cpus * 4, salts = salts)
@@ -44,10 +65,9 @@ object ExtractJob {
         count(lit(1)).as("turns_out"),
         sum(when(col("text") === "", 1).otherwise(0)).as("empty_turns"),
         sum(length(col("text"))).as("chars_out"))
-    val written = Scale.resumableWrite(extracted, out, manifest, nBuckets)
-    val secs = (System.nanoTime() - t0) / 1e9
-    println(f"[extract-job] wrote $written%d turns in $secs%.1f s " +
-      f"(${written / secs}%.0f turns/sec) to $out")
-    spark.stop()
+    val written = Scale.resumableWrite(extracted,
+      TableIO.dataDir(table, snap), s"$table/$snap/manifest", nBuckets)
+    TableIO.publish(spark, table, snap)
+    (snap, written)
   }
 }

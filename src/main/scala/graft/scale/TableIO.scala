@@ -54,6 +54,20 @@ object TableIO {
       .filter(_.startsWith("snap-")).sorted
   }
 
+  /** Next unused snapshot name — max+1, not count+1: after
+    * expireSnapshots a count-based name could sort BELOW a surviving newer
+    * snapshot. */
+  def nextSnapshotName(spark: SparkSession, tableDir: String): String = {
+    val maxN = snapshots(spark, tableDir)
+      .map(_.stripPrefix("snap-").toInt).maxOption.getOrElse(0)
+    f"snap-${maxN + 1}%05d"
+  }
+
+  /** Snapshot layout: payload under `<snap>/data` (bucket dirs or plain
+    * parquet), job-private bookkeeping (e.g. a resume manifest) anywhere
+    * else inside the snapshot dir. */
+  def dataDir(tableDir: String, snap: String): String = s"$tableDir/$snap/data"
+
   /** Write `df` as the table's next snapshot and atomically publish it.
     * Returns the new snapshot name. The data write happens into an
     * unpublished directory; the table "commits" only at the pointer
@@ -62,14 +76,9 @@ object TableIO {
   def snapshotWrite(df: DataFrame, tableDir: String,
                     sortCols: Seq[String] = Seq("conv_id", "turn_idx")): String = {
     val spark = df.sparkSession
-    // max+1, not count+1: after expireSnapshots a count-based name could
-    // sort BELOW a surviving newer snapshot
-    val maxN = snapshots(spark, tableDir)
-      .map(_.stripPrefix("snap-").toInt).maxOption.getOrElse(0)
-    val next = f"snap-${maxN + 1}%05d"
-    val snapDir = s"$tableDir/$next"
+    val next = nextSnapshotName(spark, tableDir)
     val sorted = if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(df(_)): _*) else df
-    sorted.write.mode("overwrite").parquet(snapDir)
+    sorted.write.mode("overwrite").parquet(dataDir(tableDir, next))
     publish(spark, tableDir, next)
     next
   }
@@ -93,7 +102,7 @@ object TableIO {
                 snapshot: Option[String] = None): DataFrame = {
     val snap = snapshot.orElse(currentSnapshot(spark, tableDir))
       .getOrElse(throw new IllegalStateException(s"no published snapshot in $tableDir"))
-    spark.read.parquet(s"$tableDir/$snap")
+    spark.read.parquet(dataDir(tableDir, snap))
   }
 
   /** Drop all unpublished/superseded snapshots except the newest `keep`. */

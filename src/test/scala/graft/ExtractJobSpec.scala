@@ -1,0 +1,41 @@
+package graft
+
+import graft.app.ExtractJob
+import graft.core.Transcripts
+import graft.extract.Extract
+import graft.scale.TableIO
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end job flow: extraction kernel → resumable bucketed write inside
+  * an unpublished snapshot → atomic publish; rerun publishes a NEW
+  * snapshot (never mutates the old one). */
+class ExtractJobSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("job publishes a snapshot equal to the kernel output; rerun adds v2") {
+    val tmp = Files.createTempDirectory("graft_job").toString
+    Transcripts.synthetic(spark, 300, 10).drop("doc_text")
+      .write.parquet(s"$tmp/in")
+
+    val (snap1, n1) = ExtractJob.run(spark, s"$tmp/in", s"$tmp/table",
+      nBuckets = 8, salts = 4, cpus = 4)
+    assert(snap1 === "snap-00001")
+    assert(n1 === 300)
+    assert(TableIO.currentSnapshot(spark, s"$tmp/table") === Some(snap1))
+    val published = TableIO.readTable(spark, s"$tmp/table")
+      .select("conv_id", "turn_idx", "text")
+    val expected = Extract.pipeline(spark.read.parquet(s"$tmp/in"))
+      .select("conv_id", "turn_idx", "text")
+    assert(published.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(published).count() === 0)
+
+    val (snap2, n2) = ExtractJob.run(spark, s"$tmp/in", s"$tmp/table",
+      nBuckets = 8, salts = 4, cpus = 4)
+    assert(snap2 === "snap-00002")
+    assert(n2 === 300)
+    assert(TableIO.currentSnapshot(spark, s"$tmp/table") === Some(snap2))
+    // v1 untouched — time travel still exact
+    assert(TableIO.readTable(spark, s"$tmp/table", Some(snap1)).count() === 300)
+  }
+}

@@ -48,7 +48,7 @@ class TableIOSpec extends AnyFunSuite {
     val s1 = TableIO.snapshotWrite(Seq(("a", 0, "x")).toDF("conv_id", "turn_idx", "text"), dir)
     // simulate a failed job: data lands in a snapshot dir but is never published
     Seq(("junk", 9, "torn")).toDF("conv_id", "turn_idx", "text")
-      .write.parquet(s"$dir/snap-00002")
+      .write.parquet(s"$dir/snap-00002/data")
     assert(TableIO.currentSnapshot(spark, dir) === Some(s1))
     assert(TableIO.readTable(spark, dir).count() === 1) // torn write invisible
     // next snapshotWrite numbers PAST the orphan and publishes cleanly
