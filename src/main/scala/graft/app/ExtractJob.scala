@@ -53,10 +53,19 @@ object ExtractJob {
     // resume the newest UNPUBLISHED staging snapshot (a previous failed
     // attempt), else open a fresh one; publish flips the pointer only after
     // every bucket is present, so readers never see a partial table.
+    // Resume is parameter-checked: the staging snapshot records (nBuckets,
+    // salts), and a retry with DIFFERENT parameters starts a fresh snapshot
+    // instead of skipping "done" bucket ids computed under the old
+    // bucketing — which would publish a silently incomplete table
+    // (round-2 ADVICE).
+    val params = s"nBuckets=$nBuckets\nsalts=$salts"
     val current = TableIO.currentSnapshot(spark, table)
     val snap = TableIO.snapshots(spark, table)
       .filter(s => current.forall(_ < s)).lastOption
+      .filter(s => TableIO.readSidecar(spark, table, s, "params")
+        .contains(params))
       .getOrElse(TableIO.nextSnapshotName(spark, table))
+    TableIO.writeSidecar(spark, table, snap, "params", params)
     val turns = spark.read.parquet(in)
     val salted = Scale.saltedRepartition(
       turns, partitions = cpus * 4, salts = salts)

@@ -95,8 +95,12 @@ object Block {
         if (c >= '0' && c <= '9') digits += 1
       } else if (wordStart >= 0) {
         words += 1
+        // Locale.ROOT: under e.g. tr-TR the default locale lowercases 'I'
+        // to dotless-i, silently changing nStops across environments
+        // (round-2 ADVICE) — Spark's lower() and DuckDB are locale-free.
         if (i - wordStart <= MaxStopLen &&
-            Stops.contains(text.substring(wordStart, i).toLowerCase)) stops += 1
+            Stops.contains(text.substring(wordStart, i)
+              .toLowerCase(java.util.Locale.ROOT))) stops += 1
         wordStart = -1
       }
       i += 1

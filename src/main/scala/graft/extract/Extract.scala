@@ -49,7 +49,11 @@ object Extract {
     * Label rule (threshold tier of E3; E4 neural scorer refines it):
     *   chrome  ⇐ path matches nav/footer/header/aside
     *   chrome  ⇐ link density > 0.5          (menus, button bars)
-    *   chrome  ⇐ text length < 3             (stray separators)
+    *   chrome  ⇐ text length < 3, MARKUP-origin blocks only (stray
+    *             separators; layout lines and tool results are positionally
+    *             recovered content — a one-word trailing PDF line is real
+    *             text, and dropping it broke per-turn equality on sf0.1
+    *             docs whose last 8-token chunk is a single short word)
     *   content ⇐ otherwise
     */
   def classified(withBlocks: DataFrame): DataFrame = {
@@ -70,7 +74,7 @@ object Extract {
             WHEN b.path RLIKE '$ChromePathRe' THEN 'chrome'
             WHEN length(b.text) = 0 THEN 'chrome'
             WHEN CAST(b.linkChars AS DOUBLE) / length(b.text) > 0.5D THEN 'chrome'
-            WHEN length(b.text) < 3 THEN 'chrome'
+            WHEN length(b.text) < 3 AND b.path NOT IN ('layout', 'tool') THEN 'chrome'
             ELSE 'content' END))
       """))
   }

@@ -112,13 +112,15 @@ object ExtractTurnExpr {
     false
   }
 
-  /** Rule tier — mirrors Extract.classified's CASE exactly. */
+  /** Rule tier — mirrors Extract.classified's CASE exactly (incl. the
+    * markup-only scope of the short-block rule: layout lines and tool
+    * results are positionally recovered content regardless of length). */
   private def ruleContent(blk: Block): Boolean = {
     val len = blk.text.length
     if (pathChrome(blk.path)) false
     else if (len == 0) false
     else if (blk.linkChars.toDouble / len > 0.5) false
-    else if (len < 3) false
+    else if (len < 3 && blk.path != "layout" && blk.path != "tool") false
     else true
   }
 

@@ -29,15 +29,24 @@ object Lsa {
     val spark = tfidf.sparkSession
     import spark.implicits._
     require(k <= vocabSize, s"k=$k exceeds vocabSize=$vocabSize")
+    // Sparse-vector assembly is RELATIONAL: groupBy + collect_list runs as
+    // an ObjectHashAggregate with partial (map-side) aggregation, so the
+    // shuffle carries one pre-grouped buffer per (partition, doc) instead
+    // of one ungrouped Java-serialized record per (token, value) pair —
+    // round 2 spelled this as RDD groupByKey, whose ungrouped shuffle and
+    // per-key array build were the q44 bottleneck (1.94 s, slowest query)
+    // and the scale-killer at 10^12 turns (round-2 VERDICT #3).
     val docVecs = tfidf
-      .select(col(docKey).cast("long"), col("token_id").cast("int"),
-        col(valueCol).cast("double"))
+      .select(col(docKey).cast("long").as("k"),
+        struct(col("token_id").cast("int").as("i"),
+          col(valueCol).cast("double").as("v")).as("p"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .as[(Long, Seq[(Int, Double)])]
       .rdd
-      .map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2))))
-      .groupByKey()
-      .mapValues { it =>
-        val s = it.toArray.sortBy(_._1)
-        OldVectors.sparse(vocabSize, s.map(_._1), s.map(_._2))
+      .map { case (doc, ps) =>
+        (doc, OldVectors.sparse(vocabSize, ps.map(_._1).toArray,
+          ps.map(_._2).toArray))
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     // computeSVD is an action — it materializes the persisted docVecs, and

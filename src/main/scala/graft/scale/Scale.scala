@@ -93,7 +93,6 @@ object Scale {
   def resumableWrite(df: DataFrame, outDir: String, manifestDir: String,
                      nBuckets: Int = DefaultBuckets): Long = {
     val spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val done = completedBuckets(spark, manifestDir)
     val withBucket = df.withColumn("bucket", bucketCol(nBuckets))
     val remaining =
@@ -101,10 +100,14 @@ object Scale {
       else withBucket.filter(!col("bucket").isin(done.toSeq: _*))
     // one job: shuffle-free write, grouped into bucket dirs; stable order
     // restored inside each file, never assumed from partition order.
+    // partitionOverwriteMode is scoped to THIS write via the per-write
+    // option, not session conf (round-2 VERDICT: the conf mutation leaked
+    // into every later write of a long-lived session).
     remaining
       .repartition(col("bucket"))
       .sortWithinPartitions("conv_id", "turn_idx")
-      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(outDir)
     // one distributed pass over the (partition-pruned) output records every
     // newly-written bucket's count
     val counts = spark.read.parquet(outDir)

@@ -11,21 +11,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * {{{
   *   table/
-  *     snap-00001/bucket=…/part-….parquet   (immutable once published)
+  *     snap-00001/data/bucket=…/part-….parquet (immutable once published)
+  *     snap-00001/files.list                   (per-snapshot file manifest)
   *     snap-00002/…
-  *     _CURRENT                             (one line: "snap-00002")
+  *     _CURRENT                                (one line: "snap-00002")
   * }}}
   *
-  * `_CURRENT` is replaced via create-temp + rename — atomic on local FS and
-  * HDFS (Iceberg's own pointer-commit strategy for Hadoop catalogs; on S3 a
-  * real deployment swaps this for a conditional-put catalog). Readers
-  * resolve the pointer once and then read only immutable files, so a
-  * publish concurrent with a read can never tear: the reader sees entirely
-  * the old snapshot or entirely the new one. Old snapshots remain until
-  * [[expireSnapshots]] — which is also what makes time travel possible. */
+  * `_CURRENT` is replaced via create-temp + `FileContext.rename(OVERWRITE)`
+  * — a SINGLE atomic step on local FS and HDFS (no delete-then-rename
+  * window where the pointer is missing; round-2 ADVICE). On S3 a real
+  * deployment swaps this for a conditional-put catalog. `files.list` is
+  * written BEFORE the pointer flip and names every data file, so (a) it
+  * doubles as the snapshot's completion marker, (b) readers resolve the
+  * pointer once and then open exactly the listed immutable files — never
+  * listing directories (the true Iceberg manifest shape; object stores
+  * make listings slow AND eventually consistent), and (c) if the pointer
+  * is ever lost, readers fall back to the newest COMPLETE snapshot rather
+  * than failing. Old snapshots remain until [[expireSnapshots]] — which is
+  * also what makes time travel possible. */
 object TableIO {
 
   private val Pointer = "_CURRENT"
+  private val FilesManifest = "files.list"
 
   private def fs(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -68,6 +75,67 @@ object TableIO {
     * else inside the snapshot dir. */
   def dataDir(tableDir: String, snap: String): String = s"$tableDir/$snap/data"
 
+  // ------------------------------------------------------------- sidecars
+
+  /** Write a small text sidecar inside a snapshot dir (overwrites). */
+  def writeSidecar(spark: SparkSession, tableDir: String, snap: String,
+                   name: String, content: String): Unit = {
+    val (f, dir) = fs(spark, tableDir)
+    val p = new org.apache.hadoop.fs.Path(dir, s"$snap/$name")
+    val out = f.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read a snapshot sidecar, if present. */
+  def readSidecar(spark: SparkSession, tableDir: String, snap: String,
+                  name: String): Option[String] = {
+    val (f, dir) = fs(spark, tableDir)
+    val p = new org.apache.hadoop.fs.Path(dir, s"$snap/$name")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in).mkString) finally in.close()
+    }
+  }
+
+  // ------------------------------------------------------- file manifest
+
+  /** List the snapshot's data files ONCE and record them (relative to the
+    * snapshot's data dir, one per line, sorted). Written by [[publish]]
+    * before the pointer flip — also the snapshot's completion marker. */
+  def writeFilesManifest(spark: SparkSession, tableDir: String,
+                         snap: String): Unit = {
+    val (f, _) = fs(spark, tableDir)
+    val dd = f.makeQualified(new org.apache.hadoop.fs.Path(dataDir(tableDir, snap)))
+    val prefix = dd.toString + "/"
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (f.exists(dd)) {
+      val it = f.listFiles(dd, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          files += st.getPath.toString.stripPrefix(prefix)
+      }
+    }
+    writeSidecar(spark, tableDir, snap, FilesManifest,
+      files.sorted.mkString("\n"))
+  }
+
+  /** Data files recorded for a snapshot (relative paths), if its manifest
+    * was committed. */
+  def filesManifest(spark: SparkSession, tableDir: String,
+                    snap: String): Option[Seq[String]] =
+    readSidecar(spark, tableDir, snap, FilesManifest)
+      .map(_.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
+
+  /** Newest snapshot whose file manifest committed — the reader fallback
+    * when the pointer file is absent. */
+  def latestComplete(spark: SparkSession, tableDir: String): Option[String] =
+    snapshots(spark, tableDir).reverse
+      .find(s => filesManifest(spark, tableDir, s).isDefined)
+
+  // ------------------------------------------------------------ lifecycle
+
   /** Write `df` as the table's next snapshot and atomically publish it.
     * Returns the new snapshot name. The data write happens into an
     * unpublished directory; the table "commits" only at the pointer
@@ -83,26 +151,41 @@ object TableIO {
     next
   }
 
-  /** Atomically flip `_CURRENT` to `snap`: write a temp pointer file, then
-    * rename over the old one (rename is atomic on local FS / HDFS). */
+  /** Publish `snap`: commit its file manifest, then atomically flip
+    * `_CURRENT` via a SINGLE overwrite-rename (`FileContext.rename` with
+    * `Options.Rename.OVERWRITE` — atomic on local FS and HDFS). There is
+    * no intermediate state with the pointer deleted (round-2 ADVICE: the
+    * previous delete-then-rename left a window with NO `_CURRENT`). */
   def publish(spark: SparkSession, tableDir: String, snap: String): Unit = {
+    writeFilesManifest(spark, tableDir, snap)
     val (f, dir) = fs(spark, tableDir)
     val tmp = new org.apache.hadoop.fs.Path(dir, s".$Pointer.tmp")
     val ptr = new org.apache.hadoop.fs.Path(dir, Pointer)
     val out = f.create(tmp, true)
     try out.write(snap.getBytes("UTF-8")) finally out.close()
-    // overwrite-rename: HDFS needs the destination gone first within the
-    // same atomic window rename provides; local FS rename replaces.
-    if (f.exists(ptr)) f.delete(ptr, false)
-    require(f.rename(tmp, ptr), s"pointer rename failed for $tableDir")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.makeQualified(dir).toUri, spark.sessionState.newHadoopConf())
+    fc.rename(f.makeQualified(tmp), f.makeQualified(ptr),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Read the published snapshot (or a specific one — time travel). */
+  /** Read the published snapshot (or a specific one — time travel).
+    * Resolution: explicit snapshot → `_CURRENT` → newest COMPLETE snapshot
+    * (pointer lost, e.g. a crashed catalog migration). Reads open exactly
+    * the manifest's files (directory-listing-free); snapshots predating
+    * the manifest fall back to a directory read. */
   def readTable(spark: SparkSession, tableDir: String,
                 snapshot: Option[String] = None): DataFrame = {
     val snap = snapshot.orElse(currentSnapshot(spark, tableDir))
+      .orElse(latestComplete(spark, tableDir))
       .getOrElse(throw new IllegalStateException(s"no published snapshot in $tableDir"))
-    spark.read.parquet(dataDir(tableDir, snap))
+    val dd = dataDir(tableDir, snap)
+    filesManifest(spark, tableDir, snap) match {
+      case Some(files) if files.nonEmpty =>
+        // basePath keeps partition-dir columns (bucket=N) in the schema
+        spark.read.option("basePath", dd).parquet(files.map(f => s"$dd/$f"): _*)
+      case _ => spark.read.parquet(dd)
+    }
   }
 
   /** Drop all unpublished/superseded snapshots except the newest `keep`. */

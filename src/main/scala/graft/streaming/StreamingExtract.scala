@@ -25,6 +25,20 @@ object StreamingExtract {
     Extract.pipeline(
       spark.readStream.schema(turnSchema).parquet(dir))
 
+  /** Streaming twin of the batch quarantine table (S13): turns whose
+    * payload yields zero content blocks, routed to their own sink instead
+    * of polluting the main table. Same per-turn rule as
+    * [[graft.extract.Extract.quarantine]], so batch ≡ stream row-for-row
+    * (StreamingSpec). Stateless filter — no watermark needed. */
+  def quarantineStream(spark: SparkSession, dir: String): DataFrame =
+    fromParquetDir(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("text") ===
+        org.apache.spark.sql.functions.lit(""))
+      .select(
+        org.apache.spark.sql.functions.col("conv_id"),
+        org.apache.spark.sql.functions.col("turn_idx"),
+        org.apache.spark.sql.functions.lit("no_content_blocks").as("reason"))
+
   /** Windowed extraction-rate metrics with a watermark — the streaming
     * observability analog of the batch observe() counters. The extraction
     * stages run inline on the stream (they preserve all input columns), so

@@ -41,20 +41,34 @@ object MeasureExtract {
     }
     // Warmup: JIT + codegen + page cache + the HOST's CPU ramp — this
     // Firecracker host serves sustained load slowly for the first ~5
-    // passes/~40 s and the ramp resets between JVMs, so a short-lived JVM
-    // at high parallelism (fast passes) never reaches the plateau and
-    // biases scaling ratios LOW (measured round 2: 2-pass JVMs gave
-    // eff(4→16)≈0.6 while plateau passes give ≥0.85). Warm by elapsed
-    // time, not pass count.
+    // passes and the ramp resets between JVMs. A FIXED warm wall-time
+    // under-warms when interference also slows the ramp (round-2 driver
+    // artifact: eff(2→8) read 0.55 where replications read ~1.0), so warm
+    // until the throughput PLATEAUS: keep passing while any of the last 2
+    // passes still improves the best-seen by >5%, with a 25 s floor (the
+    // ramp needs sustained load, not pass count) and a 100 s / 30-pass
+    // ceiling.
     val wt0 = System.nanoTime()
-    val warm = pass()
-    require(warm == n,
-      s"corpus row count $warm != expected nTurns $n (stale bench cache?)")
-    var wpasses = 1
-    while ((System.nanoTime() - wt0) / 1e9 < 40.0 && wpasses < 24) {
-      pass(); wpasses += 1
+    def elapsedSec: Double = (System.nanoTime() - wt0) / 1e9
+    def timedPass(): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val rows = pass()
+      (rows, n / ((System.nanoTime() - t0) / 1e9))
     }
-    System.err.println(s"WARMUP_PASSES=$wpasses")
+    val (rows0, tps0) = timedPass()
+    require(rows0 == n,
+      s"corpus row count $rows0 != expected nTurns $n (stale bench cache?)")
+    var best = tps0
+    var sinceImprove = 0
+    var wpasses = 1
+    while (elapsedSec < 100.0 && wpasses < 30 &&
+           (elapsedSec < 25.0 || sinceImprove < 2)) {
+      val (_, t) = timedPass()
+      if (t > best * 1.05) { best = t; sinceImprove = 0 }
+      else { if (t > best) best = t; sinceImprove += 1 }
+      wpasses += 1
+    }
+    System.err.println(f"WARMUP_PASSES=$wpasses WARMUP_SECONDS=$elapsedSec%.1f")
     val tps = (1 to runs).map { _ =>
       val t0 = System.nanoTime(); pass()
       n / ((System.nanoTime() - t0) / 1e9)

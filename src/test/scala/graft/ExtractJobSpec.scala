@@ -38,4 +38,31 @@ class ExtractJobSpec extends AnyFunSuite {
     // v1 untouched — time travel still exact
     assert(TableIO.readTable(spark, s"$tmp/table", Some(snap1)).count() === 300)
   }
+
+  test("resume with different bucketing starts fresh, never mixes manifests") {
+    val tmp = Files.createTempDirectory("graft_job_params").toString
+    Transcripts.synthetic(spark, 200, 10).drop("doc_text")
+      .write.parquet(s"$tmp/in")
+    // simulate a FAILED first attempt at nBuckets=8: staging snapshot with
+    // params + a partial manifest exists, but was never published
+    TableIO.writeSidecar(spark, s"$tmp/table", "snap-00001", "params",
+      "nBuckets=8\nsalts=4")
+    import spark.implicits._
+    Seq((0, 10L), (1, 10L)).toDF("bucket", "rows")
+      .write.parquet(s"$tmp/table/snap-00001/manifest")
+    // retry with DIFFERENT nBuckets: must NOT resume snap-00001 (its "done"
+    // buckets were computed under the old bucketing — round-2 ADVICE)
+    val (snap, n) = ExtractJob.run(spark, s"$tmp/in", s"$tmp/table",
+      nBuckets = 16, salts = 4, cpus = 4)
+    assert(snap === "snap-00002")
+    assert(n === 200)
+    assert(TableIO.readTable(spark, s"$tmp/table").count() === 200)
+    // same-params retry DOES resume the (now published) latest... a new run
+    // with the original failed params also starts fresh rather than reviving
+    // the stale staging snapshot
+    val (snap3, n3) = ExtractJob.run(spark, s"$tmp/in", s"$tmp/table",
+      nBuckets = 8, salts = 4, cpus = 4)
+    assert(snap3 === "snap-00003")
+    assert(n3 === 200)
+  }
 }

@@ -114,7 +114,13 @@ class ExtractSpec extends AnyFunSuite {
       "</a>", "<br/>", "<script>", "</script>", "&amp;", "&nbsp;", "&lt;",
       "plain words here", "a < b > c", "12 34 56", "the quick fox", "x",
       "  ", "%PDFISH\n10 10 line one", "{\"result\":\"tool text\"}",
-      "<h1>head</h1>", "</span>", "<UNclosed", "&bogus;")
+      "<h1>head</h1>", "</span>", "<UNclosed", "&bogus;",
+      // round-3 hardened paths: comments, doctype/PI, CDATA, quoted '>',
+      // numeric refs, short layout line (markup-scoped len<3 rule)
+      "<!-- hidden -->", "<!DOCTYPE html>", "<?pi x?>",
+      "<![CDATA[raw < & text]]>", "<a href=\"a>b\">lnk</a>",
+      "&#39;", "&#x27;", "&#xZZ;", "<!--", "]]>",
+      "%PDFISH\n10 10 a")
     var seed = 12345L
     def nextInt(bound: Int): Int = {
       seed = seed * 6364136223846793005L + 1442695040888963407L

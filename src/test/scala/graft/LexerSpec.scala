@@ -109,6 +109,52 @@ class LexerSpec extends AnyFunSuite {
     assert(s.substring(blocks.head.start, blocks.head.end) === "word")
   }
 
+  test("HTML comments are skipped, not surfaced as content (round-2 ADVICE)") {
+    val s = "<p>keep</p><!-- secret chrome --><p>also</p>"
+    assert(Lexer.lexMarkup(s).map(_.text) === Seq("keep", "also"))
+    // unterminated comment swallows the rest rather than leaking it as text
+    assert(Lexer.lexMarkup("<p>a</p><!-- dangling").map(_.text) === Seq("a"))
+    // comment inside a block does not split it
+    assert(Lexer.lexMarkup("<p>left<!-- x -->right</p>").map(_.text)
+      === Seq("leftright"))
+  }
+
+  test("doctype and processing instructions are markup, not text") {
+    val s = "<!DOCTYPE html><?xml version=\"1.0\"?><p>body</p>"
+    val blocks = Lexer.lexMarkup(s)
+    assert(blocks.map(_.text) === Seq("body"))
+    // quoted '>' inside a doctype's internal subset does not end it early
+    val dt = "<!DOCTYPE x [\"a>b\"]><p>y</p>"
+    assert(Lexer.lexMarkup(dt).map(_.text) === Seq("y"))
+  }
+
+  test("CDATA contents are literal text; markup inside is not lexed") {
+    val s = "<p>a <![CDATA[x < y & z]]> b</p>"
+    val blocks = Lexer.lexMarkup(s)
+    assert(blocks.size === 1)
+    assert(blocks.head.text === "a x < y & z b")
+    // unterminated CDATA: rest of payload is literal text
+    assert(Lexer.lexMarkup("<p><![CDATA[tail").map(_.text) === Seq("tail"))
+  }
+
+  test("quoted attribute values containing '>' do not truncate the tag") {
+    val s = """<p>pre <a href="a>b" title='c>d'>lnk</a> post</p>"""
+    val blocks = Lexer.lexMarkup(s)
+    assert(blocks.size === 1)
+    assert(blocks.head.text === "pre lnk post")
+    assert(blocks.head.nLinks === 1)
+    assert(blocks.head.linkChars === 3)
+  }
+
+  test("numeric character references decode (decimal, hex, supplementary)") {
+    val s = "<p>it&#39;s &#x27;ok&#x27; &#x1F600;</p>"
+    val blocks = Lexer.lexMarkup(s)
+    assert(blocks.head.text === "it's 'ok' 😀")
+    // malformed / oversized refs stay literal
+    assert(Lexer.lexMarkup("<p>&#xZZ; &#notanum; x</p>").head.text
+      === "&#xZZ; &#notanum; x")
+  }
+
   test("kind detection") {
     assert(Lexer.kindOf("%PDFISH\n1 1 x", "user") === Lexer.Layout)
     assert(Lexer.kindOf("""{"result":"x"}""", "user") === Lexer.ToolJson)

@@ -32,6 +32,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming quarantine equals batch quarantine (zero-content turns)") {
+    val tmp = Files.createTempDirectory("graft_stream_quar").toString
+    import spark.implicits._
+    val chromeOnly = Seq(
+      ("q0001", 0, "user", """<nav><a href="#">home</a></nav>""", null: String),
+      ("q0001", 1, "user", """<footer>only chrome</footer>""", null: String),
+      ("q0002", 0, "assistant", """<aside><a href="#">ad</a></aside>""", null: String))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    Transcripts.synthetic(spark, 100, 10).drop("doc_text")
+      .unionByName(chromeOnly)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+
+    val q = StreamingExtract.quarantineStream(spark, s"$tmp/in")
+      .writeStream.format("memory").queryName("quarantine_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("quarantine_out")
+    val batch = Extract.quarantine(spark.read.parquet(s"$tmp/in"))
+    assert(streamed.count() === 3) // exactly the chrome-only turns
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("windowed extraction-rate aggregation with watermark runs") {
     val tmp = Files.createTempDirectory("graft_stream_rate").toString
     Transcripts.synthetic(spark, 200, 10).drop("doc_text")

@@ -43,6 +43,34 @@ class TableIOSpec extends AnyFunSuite {
       .as[String].collect().toSeq === Seq("c"))
   }
 
+  test("readers open exactly the manifest's files, never a dir listing") {
+    val dir = Files.createTempDirectory("graft_table_mf").toString
+    val s1 = TableIO.snapshotWrite(
+      (0 until 5).map(i => ("a", i, s"t$i")).toDF("conv_id", "turn_idx", "text"), dir)
+    val mf = TableIO.filesManifest(spark, dir, s1)
+    assert(mf.isDefined && mf.get.nonEmpty, "publish must commit files.list")
+    // a stray file dropped into the data dir AFTER publish (e.g. a zombie
+    // task attempt) is invisible: readers resolve the manifest, not ls
+    Seq(("zombie", 99, "junk")).toDF("conv_id", "turn_idx", "text")
+      .write.mode("append").parquet(TableIO.dataDir(dir, s1))
+    assert(TableIO.readTable(spark, dir).count() === 5)
+    assert(!TableIO.readTable(spark, dir).select("conv_id").as[String]
+      .collect().contains("zombie"))
+  }
+
+  test("pointer loss falls back to the newest COMPLETE snapshot") {
+    val dir = Files.createTempDirectory("graft_table_ptr").toString
+    TableIO.snapshotWrite(Seq(("a", 0, "x")).toDF("conv_id", "turn_idx", "text"), dir)
+    TableIO.snapshotWrite(Seq(("b", 0, "y")).toDF("conv_id", "turn_idx", "text"), dir)
+    // a third snapshot's data lands but its manifest/pointer never commit
+    Seq(("c", 0, "torn")).toDF("conv_id", "turn_idx", "text")
+      .write.parquet(s"$dir/snap-00003/data")
+    new java.io.File(s"$dir/_CURRENT").delete()
+    // reader self-heals: newest snapshot WITH a committed manifest is 00002
+    assert(TableIO.readTable(spark, dir).select("conv_id").as[String]
+      .head() === "b")
+  }
+
   test("unpublished data is invisible; expire keeps the published snapshot") {
     val dir = Files.createTempDirectory("graft_table3").toString
     val s1 = TableIO.snapshotWrite(Seq(("a", 0, "x")).toDF("conv_id", "turn_idx", "text"), dir)
