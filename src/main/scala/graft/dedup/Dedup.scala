@@ -272,21 +272,39 @@ object Dedup {
   // ------------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup over an Array[Float] column: normalized dot
-    * product ≥ threshold. Candidate generation via random-hyperplane LSH
-    * sign-buckets (see [[graft.sim.Ann.hyperplaneBucket]]); here the exact
-    * small-scale variant joins all pairs below a key cap — the scale path is
-    * Ann.lshTopK. */
+    * product ≥ threshold. This is the exact all-pairs small-scale baseline
+    * (O(n²) — documented, never sent to a large corpus); the scale path is
+    * [[embeddingDupLsh]] (same semantics restricted to sign-bucket
+    * collisions) or [[graft.sim.Ann.lshTopK]] for top-k workloads. */
   def embeddingDup(df: DataFrame, key: String, vec: String,
                    threshold: Double): DataFrame = {
     val v = df.select(col(key).as("k"), col(vec).as("v"))
-    val norm = v.withColumn("n",
-      sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double"))))
-    norm.as("a").join(norm.as("b"), col("a.k") < col("b.k"))
+    v.as("a").join(v.as("b"), col("a.k") < col("b.k"))
       .withColumn("cos",
-        round(aggregate(zip_with(col("a.v"), col("b.v"),
-          (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0d), (acc, x) => acc + x)
-          / (col("a.n") * col("b.n")), 6))
+        round(graft.sim.Ann.cosine(col("a.v"), col("b.v")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"), col("cos"))
+  }
+
+  /** Embedding near-dup at scale — the LSH-bucketed twin of [[embeddingDup]]:
+    * both sides bucket by the deterministic random-hyperplane sign pattern
+    * ([[graft.sim.Ann.hyperplaneBucket]], arithmetic hyperplanes — no RNG,
+    * so the candidate set is a pure function of the data and an oracle can
+    * replay it), and only same-bucket pairs score. The bucket equi-join is
+    * the single shuffle; candidates drop by ~2^bits vs the all-pairs
+    * variant, and `bits` sized by [[graft.sim.Ann.bitsFor]] keeps the
+    * per-bucket population bounded as the corpus grows — this is the shape
+    * that survives 10^12 rows where [[embeddingDup]]'s O(n²) cannot.
+    * Recall = pairs whose sign patterns fully agree (standard sign-LSH
+    * trade; raise recall by unioning over rotated hyperplane families). */
+  def embeddingDupLsh(df: DataFrame, key: String, vec: String,
+                      threshold: Double, dim: Int, bits: Int): DataFrame = {
+    val b = df.select(col(key).as("k"), col(vec).as("v"),
+      graft.sim.Ann.hyperplaneBucket(col(vec), dim, bits).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.k") < col("b.k"))
+      .withColumn("cos",
+        round(graft.sim.Ann.cosine(col("a.v"), col("b.v")), 6))
       .filter(col("cos") >= threshold)
       .select(col("a.k").as("key_a"), col("b.k").as("key_b"), col("cos"))
   }

@@ -27,7 +27,7 @@ object Extract {
 
   /** Tags/paths that are chrome by construction (densitometric shortcut —
     * the "tag-ratio heuristics" of the north_star). */
-  private val ChromePathRe = "(^|/)(nav|footer|header|aside)($|/)"
+  val ChromePathRe = "(^|/)(nav|footer|header|aside)($|/)"
 
   /** Separator used when reassembling multi-block content. Layout lines are
     * rejoined with a single space (the generator splits on spaces), HTML

@@ -1,0 +1,52 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M14 — label spreading over a kNN similarity graph (reference:
+  * sklearn `LabelSpreading` fit over the doc-topic matrix,
+  * src/label_prop.py:57-122; the kNN-kernel variant).
+  *
+  * Semi-supervised: a small seeded subset carries labels; every node
+  * repeatedly takes the majority label of its in-neighbours, seeds stay
+  * clamped (the reference's hard-clamp `alpha≈0` configuration). Each
+  * iteration is ONE join (edge → current neighbour label) plus ONE
+  * aggregation (per-node vote count) plus a per-node argmax — T iterations
+  * = 2T bounded keyed shuffles, no driver-side adjacency and no per-node
+  * loop, so the pass parallelizes like any keyed aggregation at 10^12
+  * edges. Votes tie-break to the SMALLEST label (deterministic across
+  * partitionings and engines).
+  */
+object LabelProp {
+
+  /** @param nodes (key, label) — label null ⇔ unlabeled (to be inferred)
+    * @param edges directed (src, dst, weight) kNN edge list: src receives
+    *              a vote of `weight` from dst's current label
+    * @param iters propagation rounds (the fixture graphs converge in 2–3;
+    *              sklearn's default max_iter=30 bounds the same loop)
+    * @return (key, label) with propagated labels; nodes unreachable from
+    *         any seed keep null */
+  def spread(nodes: DataFrame, key: String, labelCol: String,
+             edges: DataFrame, iters: Int): DataFrame = {
+    val seeds = nodes.select(col(key).as("k"), col(labelCol).as("seed"))
+    var cur = seeds.select(col("k"), col("seed").as("label"))
+    (1 to iters).foreach { _ =>
+      val votes = edges
+        .select(col("src").as("k"), col("dst").as("d"), col("weight"))
+        .join(cur.select(col("k").as("d"), col("label").as("nl")), Seq("d"))
+        .filter(col("nl").isNotNull)
+        .groupBy(col("k"), col("nl"))
+        .agg(sum(col("weight")).as("w"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("w").desc, col("nl").asc)
+      val winner = votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("k"), col("nl").as("vote"))
+      // clamp: a seeded node never changes; unlabeled nodes adopt the vote
+      cur = seeds.join(winner, Seq("k"), "left_outer")
+        .select(col("k"), coalesce(col("seed"), col("vote")).as("label"))
+    }
+    cur.select(col("k").as(key), col("label"))
+  }
+}

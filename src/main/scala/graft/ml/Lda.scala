@@ -1,0 +1,113 @@
+package graft.ml
+
+import org.apache.spark.ml.clustering.{LDA, LDAModel}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** M4/M5 — LDA topic modeling: the reference's central algorithm
+  * (gensim `LdaMulticore`, reference: src/doc_classification.py:39-72, the
+  * model call at :52, the num-topics grid at :289-300), re-expressed as
+  * MLlib's online-variational LDA over the engine's long-form BOW.
+  *
+  * The north_star substitutes the E4 block scorer for LDA on the extraction
+  * critical path, so this tier exists for reference-user parity: topics,
+  * the doc-topic matrix (M5/M6), topic top-terms (reference
+  * `print_topics`, src/doc_classification.py:66-69), the doc-topic
+  * correlation matrix behind the reference's heatmap (M17,
+  * src/doc_classification.py:192-210), and held-out log-perplexity (M18,
+  * `log_perplexity` src/doc_classification.py:71).
+  *
+  * Scale shape: assembly is the same partial-agg relational build as
+  * [[Lsa.project]] (one ObjectHashAggregate shuffle, pre-grouped buffers);
+  * online LDA's per-iteration cost is one corpus pass with a broadcast
+  * topic matrix (k × vocab, small because the vocab is keepN-capped) —
+  * no per-doc driver state, so throughput scales with executors.
+  */
+object Lda {
+
+  /** Long-form BOW (docKey, token_id, cnt) → (docKey, features: Vector).
+    * Sparse-vector assembly is RELATIONAL — groupBy + sort_array(
+    * collect_list) runs with map-side partial aggregation; the RDD hop is
+    * only the final Vector construction (round-2 VERDICT #3: never
+    * groupByKey ungrouped pairs). */
+  def assemble(bow: DataFrame, docKey: String, vocabSize: Int): DataFrame = {
+    val spark = bow.sparkSession
+    import spark.implicits._
+    bow.select(col(docKey).cast("long").as("k"),
+        struct(col("token_id").cast("int").as("i"),
+          col("cnt").cast("double").as("v")).as("p"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .as[(Long, Seq[(Int, Double)])]
+      .map { case (doc, ps) =>
+        (doc, Vectors.sparse(vocabSize, ps.map(_._1).toArray,
+          ps.map(_._2).toArray): Vector)
+      }
+      .toDF(docKey, "features")
+  }
+
+  /** Fit k topics with the online variational optimizer (seeded). */
+  def fit(features: DataFrame, k: Int, maxIter: Int = 20,
+          seed: Long = 7L): LDAModel =
+    new LDA().setK(k).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("features").fit(features)
+
+  /** M5/M6 — the doc-topic matrix in long form: (docKey, topic, weight). */
+  def docTopics(model: LDAModel, features: DataFrame,
+                docKey: String): DataFrame =
+    model.transform(features)
+      .select(col(docKey),
+        posexplode(vector_to_array(col("topicDistribution")))
+          .as(Seq("topic", "weight")))
+
+  /** Dominant topic per doc — argmax over the topic distribution as pure
+    * column math (no window): array_position of the max. Ties break to the
+    * LOWEST topic id (array_position returns the first match). */
+  def dominantTopic(model: LDAModel, features: DataFrame,
+                    docKey: String): DataFrame =
+    model.transform(features)
+      .withColumn("dist", vector_to_array(col("topicDistribution")))
+      .select(col(docKey),
+        (array_position(col("dist"), array_max(col("dist"))) - 1)
+          .cast("int").as("topic"),
+        round(array_max(col("dist")), 4).as("weight"))
+
+  /** Topic top-terms joined back to token strings (reference
+    * `print_topics`): (topic, rank, token, weight). `vocab` is the
+    * (token, token_id) dictionary; describeTopics is model-local (k × topN
+    * rows — driver-sized), the join is broadcast. */
+  def topicTerms(model: LDAModel, vocab: DataFrame, topN: Int): DataFrame = {
+    val topics = model.describeTopics(topN)
+      .select(col("topic"),
+        posexplode(arrays_zip(col("termIndices"), col("termWeights")))
+          .as(Seq("rank", "tw")))
+      .select(col("topic"), (col("rank") + 1).cast("int").as("rank"),
+        col("tw.termIndices").as("token_id"),
+        round(col("tw.termWeights"), 6).as("weight"))
+    topics.join(broadcast(vocab.select(col("id").as("token_id"), col("token"))),
+        Seq("token_id"))
+      .select("topic", "rank", "token", "weight")
+  }
+
+  /** M17 — the doc-topic correlation matrix the reference renders as a
+    * heatmap (src/doc_classification.py:192-210): Pearson corr between
+    * every topic pair's weight across docs, from the long-form doc-topic
+    * matrix. One self-join on doc + one groupBy (t1, t2) — k²·docs rows
+    * through a partial-agg shuffle, never a driver-side matrix. */
+  def topicCorr(docTopics: DataFrame, docKey: String): DataFrame = {
+    val a = docTopics.select(col(docKey).as("d"), col("topic").as("t1"),
+      col("weight").as("w1"))
+    val b = docTopics.select(col(docKey).as("d"), col("topic").as("t2"),
+      col("weight").as("w2"))
+    a.join(b, Seq("d")).filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(round(corr(col("w1"), col("w2")), 6).as("corr"))
+  }
+
+  /** M18 — held-out log-perplexity (reference `log_perplexity`,
+    * src/doc_classification.py:71). */
+  def logPerplexity(model: LDAModel, features: DataFrame): Double =
+    model.logPerplexity(features)
+}

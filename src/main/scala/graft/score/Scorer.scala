@@ -145,6 +145,42 @@ object Scorer {
       .drop("rk", "n_label")
   }
 
+  /** M13 — hyperparameter grid search as ONE relational pass (reference:
+    * the config loop retraining RandomForest per point,
+    * src/supervised.py:66-76,123-139). The engine's scorer is closed-form,
+    * so the searched hyperparameter is the decision threshold: the literal
+    * grid explodes against the scored rows (grid × rows, still narrow),
+    * then one partial-agg shuffle keyed by threshold produces the full
+    * confusion counts and metrics per grid point — every candidate is
+    * evaluated in a single corpus pass instead of the reference's
+    * pass-per-config loop, which is the difference between O(grid) and
+    * O(1) scans at 100 TB.
+    *
+    * @param scored   rows with a probability score and a truth label
+    * @param positive the label value counted as the positive class
+    * @return one row per threshold: n, tp/fp/tn/fn, accuracy, precision,
+    *         recall (6dp — engine-portable) */
+  def thresholdGrid(scored: DataFrame, scoreCol: String, labelCol: String,
+                    positive: String, thresholds: Seq[Double]): DataFrame = {
+    val pred = col("s") >= col("threshold")
+    val pos = col("pos")
+    scored
+      .select(col(scoreCol).as("s"), (col(labelCol) === positive).as("pos"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(pred && pos, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && !pos, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pred && !pos, 1L).otherwise(0L)).as("tn"),
+        sum(when(!pred && pos, 1L).otherwise(0L)).as("fn"))
+      .withColumn("accuracy",
+        round((col("tp") + col("tn")).cast("double") / col("n"), 6))
+      .withColumn("precision", round(col("tp").cast("double")
+        / greatest(col("tp") + col("fp"), lit(1L)), 6))
+      .withColumn("recall", round(col("tp").cast("double")
+        / greatest(col("tp") + col("fn"), lit(1L)), 6))
+  }
+
   /** M19 — confusion matrix as groupBy+pivot
     * (reference: src/label_prop.py:84-85). */
   def confusion(df: DataFrame, labelCol: String, predCol: String): DataFrame =

@@ -31,7 +31,14 @@ object Ann {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Composed HOF spelling of cosine — kept as the cross-check target for
+    * [[CosineSimExpr]] (AnnSpec pins native ≡ composed). */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** M9 — cosine similarity as the native codegen'd [[CosineSimExpr]]
+    * (the HOF spelling ran interpreted per element; see that file). */
+  def cosine(a: Column, b: Column): Column = CosineSimExpr.cosineSim(a, b)
 
   /** Exact brute-force top-k neighbours for each probe id.
     * `probes` must be small (broadcast). Ties break on corpus key asc. */

@@ -1,0 +1,86 @@
+package graft.sim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** M9 as a native Catalyst expression: `cosine_sim(a, b)` → double.
+  *
+  * The composed spelling — `aggregate(zip_with(a, b, _*_), 0d, _+_) /
+  * (norm(a)*norm(b))` — is three higher-order functions per pair, and
+  * Spark's HOF lambdas evaluate INTERPRETED (round-2 finding: HOFs have no
+  * codegen), which made the pairwise stages of the embedding queries
+  * (q27/q47/q51/q54) pay boxed-lambda costs per element. This expression
+  * computes dot product and both norms in ONE primitive loop via a static
+  * call, so the enclosing projection keeps whole-stage codegen (same
+  * static-call shape as [[graft.extract.LexBlocksExpr]]).
+  *
+  * Float-math parity with the composed spelling (which the DuckDB oracles
+  * replay): elements are widened to double and each accumulator sums in
+  * array order — identical IEEE results, verified by the unchanged q27/q47
+  * oracle hashes. Arrays must be equal length (embedding columns are
+  * fixed-dim); null elements are not supported (embeddings are dense).
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<float|double> inputs, " +
+        s"got ${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimExpr.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      elemIsFloat(left), elemIsFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.sim.CosineSimExpr$$.MODULE$$.cosine(
+         |  $a, $b, ${elemIsFloat(left)}, ${elemIsFloat(right)});""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimExpr {
+  /** Shared kernel for interpreted eval AND generated code. Accumulates
+    * dot, |a|², |b|² in array order — the same element order and double
+    * widening as the composed zip_with/aggregate spelling. */
+  def cosine(a: ArrayData, b: ArrayData,
+             aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"cosine_sim: length mismatch ${a.numElements()} vs ${b.numElements()}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineSim(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(CosineSimExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+}

@@ -1,0 +1,33 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.scale.Scale
+import org.apache.spark.sql.SparkSession
+
+/** Dev main: the per-query section of [[graft.Bench]] alone (same warmup
+  * and iteration order) — iterate on query cost without the ~25-minute
+  * interleaved scaling protocol. Not part of the driver contract. */
+object SuiteBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Scale.configure(
+      SparkSession.builder().appName("graft-suite"), cpus)
+      .master(s"local[$cpus]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    names.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () } }
+    val results = names.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    results.sortBy(-_._2).foreach { case (n, t) =>
+      println(f"[suite] $n%-22s $t%8.3f s") }
+    println(f"[suite] TOTAL ${results.map(_._2).sum}%.2f s over ${results.size} queries")
+    SparkEntry.releaseShared(spark)
+    spark.stop()
+  }
+}

@@ -68,4 +68,29 @@ class AnnSpec extends AnyFunSuite {
     assert(Ann.bitsFor(1000000, 256) === 12)   // ceil(log2(3906)) = 12
     assert(Ann.bitsFor(100000000000L, 256) === 24) // clamp ceiling
   }
+
+  test("native cosine_sim is bit-identical to the composed HOF spelling") {
+    // float and double element types, including negative and zero norms
+    val vecs = (0L until 50L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Array.fill(64)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val pairs = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+    val diff = pairs.select(
+        Ann.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+        Ann.cosineComposed(col("a.embedding"), col("b.embedding")).as("hof"))
+      .filter(col("native") =!= col("hof")) // exact double equality
+      .count()
+    assert(diff === 0)
+    // double arrays too
+    val dv = vecs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val diffD = dv.as("a").join(dv.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        Ann.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+        Ann.cosineComposed(col("a.embedding"), col("b.embedding")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffD === 0)
+  }
 }

@@ -129,4 +129,31 @@ class DedupSpec extends AnyFunSuite {
       .select("key_a", "key_b").as[(Long, Long)].collect().toSet
     assert(out === Set((0L, 1L)))
   }
+
+  test("embeddingDupLsh: LSH pairs are a same-bucket subset of all-pairs") {
+    // deterministic gaussian 16-dim vectors (well-mixed — a linear pseudo-
+    // noise formula here produced accidental near-dups); i+100 is a small
+    // perturbation of i, the planted near-dup pair
+    def vec(i: Long, eps: Float): Array[Float] = {
+      val r = new scala.util.Random(i)
+      val v = Array.fill(16)(r.nextGaussian().toFloat)
+      v(0) += eps
+      v
+    }
+    val rows = (0L until 40L).map(i => (i, vec(i, 0f))) ++
+      (0L until 40L).map(i => (i + 100L, vec(i, 0.05f)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val all = Dedup.embeddingDup(vecs, "vec_id", "embedding", 0.999)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingDupLsh(vecs, "vec_id", "embedding", 0.999,
+        dim = 16, bits = 4)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    // the planted pairs exist, LSH finds only same-bucket ones, and every
+    // LSH pair is an all-pairs pair (no false positives past the threshold)
+    assert(all.nonEmpty && all.forall { case (a, b) => b - a == 100 })
+    assert(lsh.subsetOf(all))
+    // near-identical vectors share sign patterns — recall stays high
+    assert(lsh.size >= all.size / 2,
+      s"LSH recall collapsed: ${lsh.size} of ${all.size}")
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.ml.LabelProp
+import org.scalatest.funsuite.AnyFunSuite
+
+/** M14 — label spreading over a kNN graph (reference: sklearn
+  * LabelSpreading, src/label_prop.py:57-122). */
+class LabelPropSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // two 4-cliques bridged by nothing; one seed per clique
+  private val nodes = Seq(
+    (0L, Option("a")), (1L, None), (2L, None), (3L, None),
+    (10L, Option("b")), (11L, None), (12L, None), (13L, None)
+  ).toDF("id", "label")
+
+  private def clique(ids: Seq[Long]) =
+    for (a <- ids; b <- ids if a != b) yield (a, b, 1.0)
+
+  private val edges =
+    (clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)))
+      .toDF("src", "dst", "weight")
+
+  test("labels flood each component from its seed; seeds stay clamped") {
+    val out = LabelProp.spread(nodes, "id", "label", edges, iters = 2)
+      .as[(Long, Option[String])].collect().toMap
+    Seq(0L, 1L, 2L, 3L).foreach(i => assert(out(i) === Some("a")))
+    Seq(10L, 11L, 12L, 13L).foreach(i => assert(out(i) === Some("b")))
+  }
+
+  test("a node unreachable from any seed stays unlabeled") {
+    val n = nodes.union(Seq((99L, Option.empty[String])).toDF("id", "label"))
+    val out = LabelProp.spread(n, "id", "label", edges, iters = 3)
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(99L) === None)
+  }
+
+  test("votes tie-break to the smallest label deterministically") {
+    // node 5 hears one 'a' and one 'b' with equal weight
+    val n = Seq((1L, Option("b")), (2L, Option("a")), (5L, Option.empty[String]))
+      .toDF("id", "label")
+    val e = Seq((5L, 1L, 1.0), (5L, 2L, 1.0)).toDF("src", "dst", "weight")
+    val out = LabelProp.spread(n, "id", "label", e, iters = 1)
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(5L) === Some("a"))
+  }
+
+  test("weights arbitrate: the heavier neighbour wins") {
+    val n = Seq((1L, Option("b")), (2L, Option("a")), (5L, Option.empty[String]))
+      .toDF("id", "label")
+    val e = Seq((5L, 1L, 3.0), (5L, 2L, 1.0)).toDF("src", "dst", "weight")
+    val out = LabelProp.spread(n, "id", "label", e, iters = 1)
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(5L) === Some("b"))
+  }
+
+  test("seeded nodes never change even against a unanimous neighbourhood") {
+    val n = Seq((1L, Option("a")), (2L, Option("a")), (5L, Option("b")))
+      .toDF("id", "label")
+    val e = Seq((5L, 1L, 5.0), (5L, 2L, 5.0)).toDF("src", "dst", "weight")
+    val out = LabelProp.spread(n, "id", "label", e, iters = 3)
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(5L) === Some("b"))
+  }
+}

@@ -87,4 +87,22 @@ class ScorerSpec extends AnyFunSuite {
       .select("accuracy").distinct().head().getDouble(0)
     assert(acc === 0.6) // 3 of 5 correct
   }
+
+  test("M13: threshold grid evaluates every candidate in one pass") {
+    // scores: positives at .9/.7/.4, negatives at .6/.2
+    val df = Seq((0.9, "pos"), (0.7, "pos"), (0.4, "pos"),
+        (0.6, "neg"), (0.2, "neg"))
+      .toDF("score", "label")
+    val grid = Scorer.thresholdGrid(df, "score", "label", "pos",
+        Seq(0.3, 0.5, 0.8))
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8)))).toMap
+    // t=0.3: pred+ = {.9,.7,.4,.6} → tp=3 fp=1 tn=1 fn=0
+    assert(grid(0.3) === ((3L, 1L, 1L, 0L, 0.8, 0.75, 1.0)))
+    // t=0.5: pred+ = {.9,.7,.6} → tp=2 fp=1 tn=1 fn=1
+    assert(grid(0.5) === ((2L, 1L, 1L, 1L, 0.6, 0.666667, 0.666667)))
+    // t=0.8: pred+ = {.9} → tp=1 fp=0 tn=2 fn=2
+    assert(grid(0.8) === ((1L, 0L, 2L, 2L, 0.6, 1.0, 0.333333)))
+  }
 }
