@@ -123,6 +123,42 @@ object SparkEntry {
       (graft.ml.Lda.fit(features, k = 5), features)
     })
 
+  /** ONE LSA projection per (session, sf) shared by q44 (the projection
+    * itself) and q49 (PCA over it) — the docs × k frame is tiny and the
+    * truncated SVD behind it is the expensive part. Released by
+    * [[releaseShared]]. */
+  private val sharedLsa =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def lsaProjection(s: SparkSession, dir: String): DataFrame =
+    sharedLsa.computeIfAbsent((s, dir), _ => {
+      val tc = docTermCounts(s, dir)
+      val n = t(s, dir, "documents").count()
+      val vocab = Vocab.buildFromCounts(tc, n, noBelow = 2, noAbove = 0.9)
+      val vocabSize = vocab.count().toInt
+      val tfidf = Vocab.tfidfFromCounts(tc, vocab, "doc_id", n)
+      graft.ml.Lsa.project(tfidf, "doc_id", "tfidf", vocabSize, k = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** ONE seeded KMeans fit per (session, sf) shared by q40 (assignments)
+    * and q50 (silhouette of the same clustering — evaluating a DIFFERENT
+    * fit than the one published would be wrong anyway). */
+  private val sharedKmeans = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (org.apache.spark.ml.clustering.KMeansModel, DataFrame)]()
+
+  private def kmeansFitted(s: SparkSession, dir: String)
+      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) =
+    sharedKmeans.computeIfAbsent((s, dir), _ => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(s, dir, "embeddings")
+        .withColumn("features", array_to_vector(col("embedding")))
+      (new KMeans().setK(10).setSeed(1L).setMaxIter(5)
+        .setFeaturesCol("features").fit(emb), emb)
+    })
+
   /** Unpersist the shared vocab-tier materialization for `s` — long-lived
     * sessions would otherwise leak the cache entry (round-2 VERDICT
     * hygiene). Verify/Bench call this once their query sweep is done. */
@@ -136,6 +172,16 @@ object SparkEntry {
     while (lit.hasNext) {
       val e = lit.next()
       if (e.getKey._1 eq s) { e.getValue._2.unpersist(); lit.remove() }
+    }
+    val sit = sharedLsa.entrySet().iterator()
+    while (sit.hasNext) {
+      val e = sit.next()
+      if (e.getKey._1 eq s) { e.getValue.unpersist(); sit.remove() }
+    }
+    val kit = sharedKmeans.entrySet().iterator()
+    while (kit.hasNext) {
+      val e = kit.next()
+      if (e.getKey._1 eq s) kit.remove()
     }
   }
 
@@ -513,12 +559,7 @@ object SparkEntry {
     // 5 holds the KMeansSpec invariants (round-2 VERDICT weak-lite: 10
     // iterations where ~5 may do).
     "q40_kmeans" -> ((s, dir) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val emb = t(s, dir, "embeddings")
-        .withColumn("features", array_to_vector(col("embedding")))
-      val model = new KMeans().setK(10).setSeed(1L).setMaxIter(5)
-        .setFeaturesCol("features").fit(emb)
+      val (model, emb) = kmeansFitted(s, dir)
       model.transform(emb).select(col("vec_id"), col("label"),
         col("prediction").as("cluster"))
     }),
@@ -526,16 +567,10 @@ object SparkEntry {
     // M2 — LSA: tfidf → truncated SVD(k=5) → L2 normalize (reference Entry 3
     // middle tier). Rows-only driver check (SVD sign/rotation is not
     // SQL-replayable); geometry is pinned by LsaSpec.
-    "q44_lsa" -> ((s, dir) => {
-      val tc = docTermCounts(s, dir)
-      val n = t(s, dir, "documents").count()
-      val vocab = Vocab.buildFromCounts(tc, n, noBelow = 2, noAbove = 0.9)
-      val vocabSize = vocab.count().toInt
-      val tfidf = Vocab.tfidfFromCounts(tc, vocab, "doc_id", n)
-      graft.ml.Lsa.project(tfidf, "doc_id", "tfidf", vocabSize, k = 5)
+    "q44_lsa" -> ((s, dir) =>
+      lsaProjection(s, dir)
         .select(col("doc_id"), posexplode(col("projection")).as(Seq("dim", "value")))
-        .select(col("doc_id"), col("dim"), round(col("value"), 4).as("value"))
-    }),
+        .select(col("doc_id"), col("dim"), round(col("value"), 4).as("value"))),
 
     // T2 scale path — LSH-bucketed ANN top-k with bitsFor sizing and
     // multi-probe, fully replayed by the DuckDB oracle (the hyperplane
@@ -577,12 +612,7 @@ object SparkEntry {
     "q49_pca" -> ((s, dir) => {
       import org.apache.spark.ml.feature.PCA
       import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-      val tc = docTermCounts(s, dir)
-      val n = t(s, dir, "documents").count()
-      val vocab = Vocab.buildFromCounts(tc, n, noBelow = 2, noAbove = 0.9)
-      val vocabSize = vocab.count().toInt
-      val tfidf = Vocab.tfidfFromCounts(tc, vocab, "doc_id", n)
-      val lsa = graft.ml.Lsa.project(tfidf, "doc_id", "tfidf", vocabSize, k = 5)
+      val lsa = lsaProjection(s, dir)
         .withColumn("features", array_to_vector(col("projection")))
       val model = new PCA().setK(2).setInputCol("features").setOutputCol("pc")
         .fit(lsa)
@@ -597,13 +627,8 @@ object SparkEntry {
     // modules/Silhouette.py:9-36 — viz tier; rows-only, value range pinned
     // by KMeansSpec).
     "q50_silhouette" -> ((s, dir) => {
-      import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.evaluation.ClusteringEvaluator
-      import org.apache.spark.ml.functions.array_to_vector
-      val emb = t(s, dir, "embeddings")
-        .withColumn("features", array_to_vector(col("embedding")))
-      val model = new KMeans().setK(10).setSeed(1L).setMaxIter(5)
-        .setFeaturesCol("features").fit(emb)
+      val (model, emb) = kmeansFitted(s, dir)
       val assigned = model.transform(emb)
       val sil = new ClusteringEvaluator().setFeaturesCol("features")
         .setPredictionCol("prediction").setMetricName("silhouette")

@@ -22,7 +22,11 @@ object LabelProp {
 
   /** @param nodes (key, label) — label null ⇔ unlabeled (to be inferred)
     * @param edges directed (src, dst, weight) kNN edge list: src receives
-    *              a vote of `weight` from dst's current label
+    *              a vote of `weight` from dst's current label. Every
+    *              iteration references this frame, and lazy evaluation
+    *              recomputes its lineage per reference — at scale,
+    *              persist/checkpoint the edge list before calling (the
+    *              fixture-sized driver query leaves it lazy)
     * @param iters propagation rounds (the fixture graphs converge in 2–3;
     *              sklearn's default max_iter=30 bounds the same loop)
     * @return (key, label) with propagated labels; nodes unreachable from
