@@ -56,14 +56,13 @@ object Ann {
       .select(col("p_key"), col("c_key"), col("cos"), col("rk"))
   }
 
-  /** Random-hyperplane sign bucket: `bits` pseudo-random hyperplanes, the
-    * sign of dot(v, h_i) contributes bit i. Hyperplane coefficients are
-    * deterministic arithmetic of (bit, dim) — no RNG, stable across runs.
+  /** Composed HOF spelling of the sign bucket — kept as the cross-check
+    * target for [[HyperplaneBucketExpr]] (AnnSpec pins native ≡ composed).
     * Each projection is ONE aggregate lambda with the coefficient computed
     * arithmetically from the element index, so the expression tree is
     * O(bits) — round 1 unrolled dim×bits element_at nodes, which blows up
     * codegen at dim ≥ 128. */
-  def hyperplaneBucket(vec: Column, dim: Int, bits: Int): Column = {
+  def hyperplaneBucketComposed(vec: Column, dim: Int, bits: Int): Column = {
     val idx = sequence(lit(0), lit(dim - 1))
     (0 until bits).map { b =>
       // h_b[d] = ((b*dim + d) * 2654435761 mod 1024) - 512 : fixed pseudo-noise
@@ -76,6 +75,15 @@ object Ann {
       when(proj > 0, shiftleft(lit(1), b)).otherwise(lit(0))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** Random-hyperplane sign bucket: `bits` pseudo-random hyperplanes, the
+    * sign of dot(v, h_i) contributes bit i. Hyperplane coefficients are
+    * deterministic arithmetic of (bit, dim) — no RNG, stable across runs
+    * and replayable by the SQL oracles. Native codegen'd expression
+    * ([[HyperplaneBucketExpr]] — the HOF spelling ran interpreted per
+    * element, a per-corpus-row scan cost at ingestion scale). */
+  def hyperplaneBucket(vec: Column, dim: Int, bits: Int): Column =
+    HyperplaneBucketExpr.hyperplaneBucket(vec, dim, bits)
 
   /** Bits sized to the corpus: buckets ≈ n / 2^bits, so pick
     * bits = ceil(log2(n / targetBucket)) clamped to [4, 24] — a fixed

@@ -69,6 +69,24 @@ class AnnSpec extends AnyFunSuite {
     assert(Ann.bitsFor(100000000000L, 256) === 24) // clamp ceiling
   }
 
+  test("native hyperplane_bucket is identical to the composed HOF spelling") {
+    val vecs = (0L until 200L).map { i =>
+      val r = new scala.util.Random(i + 1000)
+      (i, Array.fill(64)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val diff = vecs.select(
+        Ann.hyperplaneBucket(col("embedding"), 64, 8).as("native"),
+        Ann.hyperplaneBucketComposed(col("embedding"), 64, 8).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff === 0)
+    val dv = vecs.select(col("embedding").cast("array<double>").as("e"))
+    val diffD = dv.select(
+        Ann.hyperplaneBucket(col("e"), 64, 12).as("native"),
+        Ann.hyperplaneBucketComposed(col("e"), 64, 12).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diffD === 0)
+  }
+
   test("native cosine_sim is bit-identical to the composed HOF spelling") {
     // float and double element types, including negative and zero norms
     val vecs = (0L until 50L).map { i =>
