@@ -61,4 +61,29 @@ object LexerProps extends Properties("Lexer") {
     forAll(Gen.asciiPrintableStr) { s =>
       Prop(try { Lexer.lex(s, "user"); true } catch { case _: Throwable => false })
     }
+
+  // random interleavings of every markup construct the lexer knows:
+  // tags, chrome, comments, CDATA, doctype, quoted '>', entities, garbage
+  private val soupFrag: Gen[String] = Gen.oneOf(
+    sentence,
+    sentence.map(s => s"<div><p>$s</p></div>"),
+    sentence.map(s => s"""<nav><a href="#">$s</a></nav>"""),
+    sentence.map(s => s"<!-- $s -->"),
+    sentence.map(s => s"<![CDATA[$s < & ]]>"),
+    Gen.const("<!DOCTYPE html>"),
+    sentence.map(s => s"""<a href="a>b">$s</a>"""),
+    Gen.const("&#39; &#x27; &amp; &bogus;"),
+    Gen.const("<UNclosed <!-- ]]>"))
+  private val soup: Gen[String] =
+    Gen.nonEmptyListOf(soupFrag).map(_.take(10).mkString(" "))
+
+  property("markup soup: offsets in bounds, ascending, non-overlapping") =
+    forAll(soup) { payload =>
+      val bs = Lexer.lexMarkup(payload)
+      val inBounds = bs.forall(b =>
+        b.start >= 0 && b.end <= payload.length && b.start <= b.end)
+      val ordered = bs.iterator.sliding(2).withPartial(false).forall {
+        pair => pair.head.end <= pair.last.start }
+      Prop(inBounds && ordered)
+    }
 }
