@@ -137,8 +137,10 @@ object SparkEntry {
       val vocab = Vocab.buildFromCounts(tc, n, noBelow = 2, noAbove = 0.9)
       val vocabSize = vocab.count().toInt
       val tfidf = Vocab.tfidfFromCounts(tc, vocab, "doc_id", n)
-      graft.ml.Lsa.project(tfidf, "doc_id", "tfidf", vocabSize, k = 5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize = persist + release the internal vector-RDD cache;
+      // releaseShared unpersists the returned frame
+      graft.ml.Lsa.project(tfidf, "doc_id", "tfidf", vocabSize, k = 5,
+        materialize = true)
     })
 
   /** ONE seeded KMeans fit per (session, sf) shared by q40 (assignments)

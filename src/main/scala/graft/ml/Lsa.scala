@@ -23,9 +23,17 @@ object Lsa {
 
   /** Long-form (docKey, token_id, value) → (docKey, projection: array[k]),
     * L2-normalized. `vocabSize` = dictionary size (ids are 0-based dense by
-    * Vocab.build's construction). */
+    * Vocab.build's construction).
+    *
+    * `materialize = true` persists and computes the projection frame, then
+    * releases the internal sparse-vector RDD cache immediately — the
+    * returned frame no longer depends on it, so a long-lived session holds
+    * one docs×k cache instead of a leaked corpus-sized vector RDD (callers
+    * unpersist the returned frame when done). With `materialize = false`
+    * the vector RDD must stay cached for the lazy projection and is
+    * reclaimed only when the frame is garbage-collected. */
   def project(tfidf: DataFrame, docKey: String, valueCol: String,
-              vocabSize: Int, k: Int): DataFrame = {
+              vocabSize: Int, k: Int, materialize: Boolean = false): DataFrame = {
     val spark = tfidf.sparkSession
     import spark.implicits._
     require(k <= vocabSize, s"k=$k exceeds vocabSize=$vocabSize")
@@ -54,7 +62,7 @@ object Lsa {
     // (do NOT unpersist here: the returned frame still depends on it).
     val svd = new RowMatrix(docVecs.values).computeSVD(k, computeU = false)
     val vb = spark.sparkContext.broadcast(svd.V)
-    docVecs.map { case (doc, vec) =>
+    val out = docVecs.map { case (doc, vec) =>
       val v = vb.value
       val proj = new Array[Double](k)
       vec.foreachActive { (i, x) =>
@@ -64,5 +72,12 @@ object Lsa {
       val n = math.sqrt(proj.map(p => p * p).sum)
       (doc, if (n == 0.0) proj.toSeq else proj.map(_ / n).toSeq)
     }.toDF(docKey, "projection")
+    if (!materialize) out
+    else {
+      val cached = out.persist(StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      docVecs.unpersist()
+      cached
+    }
   }
 }
