@@ -39,6 +39,28 @@ object StreamingExtract {
         org.apache.spark.sql.functions.col("turn_idx"),
         org.apache.spark.sql.functions.lit("no_content_blocks").as("reason"))
 
+  /** Streaming exact dedup at ingest — the streaming twin of
+    * [[graft.dedup.Dedup.exact]]: exactly one representative per extracted-
+    * content fingerprint, with state BOUNDED by the watermark horizon
+    * (`dropDuplicatesWithinWatermark` drops a digest from state once the
+    * watermark passes it — the shape that survives an unbounded ingest
+    * where plain `dropDuplicates` state grows forever). Contract
+    * difference, documented: batch keeps min(key) per digest (order-free,
+    * replayable); the stream keeps the FIRST-SEEN arrival inside the
+    * horizon — same one-representative guarantee, pinned against batch by
+    * StreamingSpec on digest sets. */
+  def dedupStream(spark: SparkSession, dir: String,
+                  horizon: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val turns = spark.readStream.schema(turnSchema).parquet(dir)
+    Extract.extracted(Extract.classified(Extract.lexed(
+        turns.withWatermark("ts", horizon))))
+      .filter(col("extracted") =!= lit(""))
+      .select(col("conv_id"), col("turn_idx"), col("ts"),
+        md5(col("extracted")).as("digest"), col("extracted").as("text"))
+      .dropDuplicatesWithinWatermark("digest")
+  }
+
   /** Windowed extraction-rate metrics with a watermark — the streaming
     * observability analog of the batch observe() counters. The extraction
     * stages run inline on the stream (they preserve all input columns), so

@@ -57,6 +57,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming exact dedup: one representative per digest, batch-equal digest set") {
+    val tmp = Files.createTempDirectory("graft_stream_dedup").toString
+    import spark.implicits._
+    // 60 turns over 20 distinct payloads → exactly 3 copies of each text
+    val rows = (0 until 60).map { i =>
+      (f"d${i % 7}%04d", i, "user", s"duplicate payload number ${i % 20}",
+        null.asInstanceOf[String],
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00"))
+    }
+    rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+
+    val q = StreamingExtract.dedupStream(spark, s"$tmp/in")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("dedup_out")
+    assert(streamed.count() === 20) // one representative per distinct payload
+    assert(streamed.select("digest").distinct().count() === 20)
+    // digest set equals the batch pipeline's distinct content digests
+    val batchDigests = Extract.pipeline(spark.read.parquet(s"$tmp/in"))
+      .filter(col("text") =!= lit(""))
+      .select(md5(col("text")).as("digest")).distinct()
+    assert(streamed.select("digest").exceptAll(batchDigests).count() === 0)
+    assert(batchDigests.exceptAll(streamed.select("digest")).count() === 0)
+  }
+
   test("windowed extraction-rate aggregation with watermark runs") {
     val tmp = Files.createTempDirectory("graft_stream_rate").toString
     Transcripts.synthetic(spark, 200, 10).drop("doc_text")
