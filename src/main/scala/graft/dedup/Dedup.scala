@@ -91,15 +91,15 @@ object Dedup {
     * row, no shuffle. */
   private val MersenneP = 2147483647L // 2^31 - 1
 
-  /** Fold the numHashes running minima in ONE pass over the shingle-hash
-    * array (the state is an array of minima, zip_with'd against the hash-
-    * index sequence) — round 1 issued numHashes independent array_min
-    * traversals, the same O(H·shingles) expression-walk pattern the verdict
-    * flagged on simhash. The (a_i, b_i) family is identical to round 1's
-    * (and to the q29/q45 oracles): a = 1000000007(i+1) mod p,
-    * b = 998244353(i²+1) mod p. hs is never empty (shingles() emits ≥1
-    * element even for short docs), so the p-valued init is always beaten. */
-  private def minhashFromHashes(hs: Column, numHashes: Int): Column = {
+  /** Composed HOF spelling of the minima fold — kept as the cross-check
+    * target for [[MinhashFoldExpr]] (DedupSpec pins native ≡ composed).
+    * One pass over the shingle-hash array, state = zip_with-rebuilt array
+    * of minima — round 1 issued numHashes independent array_min traversals;
+    * round 3 measured the zip_with state rebuild itself interpreted at
+    * O(shingles·H) boxed allocations per row. The (a_i, b_i) family is
+    * identical to round 1's (and to the q29/q45 oracles):
+    * a = 1000000007(i+1) mod p, b = 998244353(i²+1) mod p. */
+  private[graft] def minhashFromHashesComposed(hs: Column, numHashes: Int): Column = {
     val p = lit(MersenneP)
     val idx = sequence(lit(0L), lit(numHashes - 1L))
     val init = transform(idx, _ => lit(MersenneP))
@@ -109,6 +109,13 @@ object Dedup {
           h * pmod(lit(1000000007L) * (i + 1L), p)
             + pmod(lit(998244353L) * (i * i + 1L), p), p))))
   }
+
+  /** The minima fold as the native codegen'd [[MinhashFoldExpr]] — one
+    * primitive long[H] per row instead of an interpreted array rebuild per
+    * shingle. hs is never empty (shingles() emits ≥1 element even for
+    * short docs), so the p-valued init is always beaten. */
+  private def minhashFromHashes(hs: Column, numHashes: Int): Column =
+    MinhashFoldExpr.minhashFold(hs, numHashes)
 
   def minhashSignature(tokens: Column, k: Int, numHashes: Int): Column = {
     val p = lit(MersenneP)
@@ -190,12 +197,13 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** Per-bit majority vote over an array of hash values, folded in ONE pass:
-    * the aggregate state is an array of `bits` signed counters (zip_with
-    * against the bit-index sequence), so the expression walks the token-hash
-    * array once instead of `bits` times (round-1 verdict: 64 independent
-    * aggregate() passes were O(64·tokens) per row). */
-  private def simhashFromHashes(hs: Column, bits: Int): Column = {
+  /** Composed HOF spelling of the per-bit majority vote — kept as the
+    * cross-check target for [[SimhashFoldExpr]] (DedupSpec pins native ≡
+    * composed). One pass, aggregate state = zip_with-rebuilt array of
+    * `bits` signed counters (round-1 verdict: 64 independent aggregate()
+    * passes were O(64·tokens) per row; round 3 measured the state rebuild
+    * itself interpreted). */
+  private[graft] def simhashFromHashesComposed(hs: Column, bits: Int): Column = {
     val bitIdx = sequence(lit(0), lit(bits - 1))
     val zeros = transform(bitIdx, _ => lit(0L))
     val votes = aggregate(hs, zeros, (acc, h) =>
@@ -209,6 +217,12 @@ object Dedup {
         when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
+
+  /** The vote fold as the native codegen'd [[SimhashFoldExpr]] — one
+    * primitive int[bits] per row instead of an interpreted counter-array
+    * rebuild per token. */
+  private def simhashFromHashes(hs: Column, bits: Int): Column =
+    SimhashFoldExpr.simhashFold(hs, bits)
 
   /** 64-bit SimHash over the token array: per-bit majority vote of token
     * xxhash64 values, columnar. Production path (fastest hash). */

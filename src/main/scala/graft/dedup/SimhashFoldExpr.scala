@@ -1,0 +1,76 @@
+package graft.dedup
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** The SimHash per-bit majority vote as a native expression:
+  * `simhash_fold(tokenHashes)` → long signature. Bit b of the output is
+  * set iff more token hashes have bit b set than clear (strictly positive
+  * vote).
+  *
+  * The composed spelling folds an aggregate whose state is a
+  * `zip_with`-rebuilt array of `bits` signed counters — one interpreted
+  * array allocation per token per row, the per-row ingest cost of the
+  * SimHash path at corpus scale (same class as [[MinhashFoldExpr]]). One
+  * primitive int[bits] here. Integer-exact parity with the composed
+  * spelling (pinned by DedupSpec): a null hash lane votes −1 on every bit
+  * there (`when` falls to otherwise on a null condition), which equals
+  * the h=0 vote. Oracle hashes (q39) unchanged. */
+case class SimhashFoldExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_fold"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs an array<bigint> input, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    SimhashFoldExpr.fold(v.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.dedup.SimhashFoldExpr$$.MODULE$$.fold($v, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashFoldExpr =
+    copy(child = newChild)
+}
+
+object SimhashFoldExpr {
+  /** Shared kernel for interpreted eval AND generated code. */
+  def fold(hashes: ArrayData, bits: Int): Long = {
+    val votes = new Array[Int](bits)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      val h = if (hashes.isNullAt(j)) 0L else hashes.getLong(j)
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def simhashFold(hashes: Column, bits: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(SimhashFoldExpr(
+      ColumnBridge.expression(hashes), bits))
+  }
+}

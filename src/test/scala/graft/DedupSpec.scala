@@ -130,6 +130,47 @@ class DedupSpec extends AnyFunSuite {
     assert(out === Set((0L, 1L)))
   }
 
+  test("native minhash_fold is identical to the composed HOF spelling") {
+    // arbitrary long hash arrays incl. boundary values and an empty row
+    val rows = (0L until 100L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Seq.fill(1 + r.nextInt(40))(math.abs(r.nextLong()) % 2147483647L))
+    } :+ (100L, Seq.empty[Long])
+    val df = rows.toDF("id", "hs")
+    val diff = df.select(
+        graft.dedup.MinhashFoldExpr.minhashFold(col("hs"), 16).as("native"),
+        Dedup.minhashFromHashesComposed(col("hs"), 16).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff === 0)
+    // end-to-end signatures over real token arrays, both hash families
+    val docs = Seq(
+      (0L, Seq("the", "quick", "brown", "fox", "jumps")),
+      (1L, Seq("a")), (2L, Seq("lorem", "ipsum", "dolor", "sit", "amet", "sed")))
+      .toDF("doc_id", "tokens")
+    Seq(Dedup.minhashSignature(col("tokens"), 3, 8),
+        Dedup.minhashSignatureMd5(col("tokens"), 3, 8)).foreach { sig =>
+      val out = docs.select(sig.as("s")).collect()
+      assert(out.forall(_.getSeq[Long](0).length == 8))
+      assert(out.forall(_.getSeq[Long](0).forall(v => v >= 0 && v < 2147483647L)))
+    }
+  }
+
+  test("native simhash_fold is identical to the composed HOF spelling") {
+    // arbitrary long hashes incl. negatives (bit 63) and an empty row
+    val rows = (0L until 100L).map { i =>
+      val r = new scala.util.Random(i + 7)
+      (i, Seq.fill(1 + r.nextInt(30))(r.nextLong()))
+    } :+ (100L, Seq.empty[Long])
+    val df = rows.toDF("id", "hs")
+    Seq(64, 32).foreach { bits =>
+      val diff = df.select(
+          graft.dedup.SimhashFoldExpr.simhashFold(col("hs"), bits).as("native"),
+          Dedup.simhashFromHashesComposed(col("hs"), bits).as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(diff === 0, s"mismatch at bits=$bits")
+    }
+  }
+
   test("embeddingDupLsh: LSH pairs are a same-bucket subset of all-pairs") {
     // deterministic gaussian 16-dim vectors (well-mixed — a linear pseudo-
     // noise formula here produced accidental near-dups); i+100 is a small
