@@ -92,16 +92,29 @@ object SparkEntry {
       Vocab.termCounts(Vocab.tokensLong(docTokens(s, dir), "doc_id", "tokens"), "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** ONE pruned dictionary per (session, sf) shared by the LDA and LSA
+    * tiers (same build params as the q14 dictionary): (vocab, nDocs,
+    * vocabSize). Round-3 review: each tier re-ran the documents count, the
+    * df-stats aggregation and the ranking window for byte-identical
+    * results. The vocab frame is small (keepN-capped) — nothing persisted. */
+  private val sharedVocab = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Long, Int)]()
+
+  private def vocabInfo(s: SparkSession, dir: String): (DataFrame, Long, Int) =
+    sharedVocab.computeIfAbsent((s, dir), _ => {
+      val tc = docTermCounts(s, dir)
+      val n = t(s, dir, "documents").count()
+      val vocab = Vocab.buildFromCounts(tc, n, noBelow = 2, noAbove = 0.9)
+      (vocab, n, vocab.count().toInt)
+    })
+
   /** Per-doc sparse BOW vectors for the LDA tier (q52/q55/q56) — derived
-    * from the shared term-count materialization with the same vocab
-    * parameters as the q14 dictionary. */
+    * from the shared term-count materialization and the shared dictionary. */
   private def ldaFeatures(s: SparkSession, dir: String): DataFrame = {
-    val tc = docTermCounts(s, dir)
-    val n = t(s, dir, "documents").count()
-    val vocab = Vocab.buildFromCounts(tc, n, noBelow = 2, noAbove = 0.9)
-    val vocabSize = vocab.count().toInt
+    val (vocab, _, vocabSize) = vocabInfo(s, dir)
     graft.ml.Lda.assemble(
-      Vocab.bowFromCounts(tc, vocab, "doc_id"), "doc_id", vocabSize)
+      Vocab.bowFromCounts(docTermCounts(s, dir), vocab, "doc_id"),
+      "doc_id", vocabSize)
   }
 
   /** ONE fitted topic model per (session, sf) shared by the three
@@ -132,11 +145,8 @@ object SparkEntry {
 
   private def lsaProjection(s: SparkSession, dir: String): DataFrame =
     sharedLsa.computeIfAbsent((s, dir), _ => {
-      val tc = docTermCounts(s, dir)
-      val n = t(s, dir, "documents").count()
-      val vocab = Vocab.buildFromCounts(tc, n, noBelow = 2, noAbove = 0.9)
-      val vocabSize = vocab.count().toInt
-      val tfidf = Vocab.tfidfFromCounts(tc, vocab, "doc_id", n)
+      val (vocab, n, vocabSize) = vocabInfo(s, dir)
+      val tfidf = Vocab.tfidfFromCounts(docTermCounts(s, dir), vocab, "doc_id", n)
       // materialize = persist + release the internal vector-RDD cache;
       // releaseShared unpersists the returned frame
       graft.ml.Lsa.project(tfidf, "doc_id", "tfidf", vocabSize, k = 5,
@@ -184,6 +194,11 @@ object SparkEntry {
     while (kit.hasNext) {
       val e = kit.next()
       if (e.getKey._1 eq s) kit.remove()
+    }
+    val vit = sharedVocab.entrySet().iterator()
+    while (vit.hasNext) {
+      val e = vit.next()
+      if (e.getKey._1 eq s) vit.remove()
     }
   }
 

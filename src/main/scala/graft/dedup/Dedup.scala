@@ -22,12 +22,19 @@ object Dedup {
 
   // ------------------------------------------------------------ exact (hash)
 
+  /** THE exact-dedup fingerprint — md5 of lowercased, whitespace-collapsed
+    * text. One shared definition for the batch keeper ([[exact]]) and the
+    * streaming twin (StreamingExtract.dedupStream): round-3 review found
+    * the stream hashing RAW text, so case/whitespace variants deduped in
+    * batch but both survived the stream. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
   /** Exact dedup: md5 over normalized text; keeps the smallest key per
     * digest group. Returns (key, fingerprint, keep) for every row —
     * keep = true on the group's canonical representative. */
   def exact(df: DataFrame, key: String, text: String): DataFrame = {
-    val fp = md5(regexp_replace(lower(col(text)), "\\s+", " "))
-    val withFp = df.select(col(key), fp.as("fingerprint"))
+    val withFp = df.select(col(key), fingerprint(col(text)).as("fingerprint"))
     val keepers = withFp.groupBy("fingerprint")
       .agg(min(col(key)).as("keeper"))
     withFp.join(keepers, Seq("fingerprint"))

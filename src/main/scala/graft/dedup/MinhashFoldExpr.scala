@@ -49,9 +49,23 @@ case class MinhashFoldExpr(child: Expression, numHashes: Int)
 object MinhashFoldExpr {
   private val P = 2147483647L // 2^31 - 1
 
+  /** Constant permutation coefficients per numHashes, hoisted out of the
+    * per-(shingle, hash) inner loop (round-3 review finding — recomputing
+    * them cost two multiplies + two floorMods per element per lane). */
+  private val coefCache = new java.util.concurrent.ConcurrentHashMap[
+    Int, (Array[Long], Array[Long])]()
+
+  private def coefs(numHashes: Int): (Array[Long], Array[Long]) =
+    coefCache.computeIfAbsent(numHashes, _ => (
+      Array.tabulate(numHashes)(i =>
+        java.lang.Math.floorMod(1000000007L * (i + 1L), P)),
+      Array.tabulate(numHashes)(i =>
+        java.lang.Math.floorMod(998244353L * (i.toLong * i + 1L), P))))
+
   /** Shared kernel for interpreted eval AND generated code. h < p and
     * A_i < p, so h·A_i < 2^62 — no overflow before the mod. */
   def fold(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val (as, bs) = coefs(numHashes)
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, P)
     val n = hashes.numElements()
@@ -60,12 +74,10 @@ object MinhashFoldExpr {
       // composed parity: least() skips null lanes, so a null hash is a no-op
       if (!hashes.isNullAt(j)) {
         val h = hashes.getLong(j)
-        var i = 0L
+        var i = 0
         while (i < numHashes) {
-          val a = java.lang.Math.floorMod(1000000007L * (i + 1L), P)
-          val b = java.lang.Math.floorMod(998244353L * (i * i + 1L), P)
-          val v = java.lang.Math.floorMod(h * a + b, P)
-          if (v < mins(i.toInt)) mins(i.toInt) = v
+          val v = java.lang.Math.floorMod(h * as(i) + bs(i), P)
+          if (v < mins(i)) mins(i) = v
           i += 1
         }
       }

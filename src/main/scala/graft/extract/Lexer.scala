@@ -135,14 +135,24 @@ object Lexer {
           i += 9
           rawUntil = if (e < 0) n else e
         } else {
+          // quote-aware doctype/PI skip: a quote opens a quoted string only
+          // in value position — after whitespace, '=', or the '['/'(' of an
+          // internal subset — so an apostrophe INSIDE an unquoted token
+          // (<!DOCTYPE wasn't-html>) can't swallow the rest of the payload
+          // (round-3 review finding, same rule as the tag scan below)
           var k = i + 2
+          var valuePos = true
           while (k < n && s.charAt(k) != '>') {
             val q = s.charAt(k)
-            if (q == '"' || q == '\'') {
+            if ((q == '"' || q == '\'') && valuePos) {
               k += 1
               while (k < n && s.charAt(k) != q) k += 1
               if (k < n) k += 1
-            } else k += 1
+              valuePos = false
+            } else {
+              valuePos = q.isWhitespace || q == '=' || q == '[' || q == '('
+              k += 1
+            }
           }
           i = if (k < n) k + 1 else n
         }
@@ -154,15 +164,25 @@ object Lexer {
         while (j < n && (s.charAt(j).isLetterOrDigit)) j += 1
         val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
         // scan to '>' — skipping quoted attribute values, so an attribute
-        // containing '>' (<a href="a>b">) can't truncate the tag early
+        // containing '>' (<a href="a>b">) can't truncate the tag early.
+        // A quote opens a value only right after '=' (plus spaces), the
+        // HTML5 before-attribute-value position: a quote inside an UNQUOTED
+        // value (<img alt=don't>) is literal and must not swallow payload
+        // up to the next quote/EOF (round-3 review finding)
         var k = j
+        var afterEq = false
         while (k < n && s.charAt(k) != '>') {
           val q = s.charAt(k)
-          if (q == '"' || q == '\'') {
+          if ((q == '"' || q == '\'') && afterEq) {
             k += 1
             while (k < n && s.charAt(k) != q) k += 1
             if (k < n) k += 1
-          } else k += 1
+            afterEq = false
+          } else {
+            if (q == '=') afterEq = true
+            else if (!q.isWhitespace) afterEq = false
+            k += 1
+          }
         }
         val selfClosed = k > i && s.charAt(math.min(k, n) - 1) == '/'
         val tagEnd = if (k < n) k + 1 else n

@@ -57,7 +57,8 @@ object StreamingExtract {
         turns.withWatermark("ts", horizon))))
       .filter(col("extracted") =!= lit(""))
       .select(col("conv_id"), col("turn_idx"), col("ts"),
-        md5(col("extracted")).as("digest"), col("extracted").as("text"))
+        graft.dedup.Dedup.fingerprint(col("extracted")).as("digest"),
+        col("extracted").as("text"))
       .dropDuplicatesWithinWatermark("digest")
   }
 

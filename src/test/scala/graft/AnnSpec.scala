@@ -70,34 +70,52 @@ class AnnSpec extends AnyFunSuite {
   }
 
   test("native hyperplane_bucket is identical to the composed HOF spelling") {
-    val vecs = (0L until 200L).map { i =>
+    // gaussian vectors PLUS degenerate rows: short, long, null element —
+    // the composed spelling buckets those to 0 (null lanes null every
+    // projection) and the native kernel must match instead of crashing.
+    // Null-SAFE comparison (<=>): a =!= filter drops NULL-vs-value rows
+    // and would hide exactly the divergences this pins (review finding).
+    val gauss = (0L until 200L).map { i =>
       val r = new scala.util.Random(i + 1000)
       (i, Array.fill(64)(r.nextGaussian().toFloat))
-    }.toDF("vec_id", "embedding")
+    }
+    val degenerate = Seq(
+      (900L, Array.fill(32)(1.0f)),          // shorter than dim
+      (901L, Array.fill(80)(1.0f)),          // longer than dim
+      (902L, Array.fill(64)(0.0f)))          // zero vector (proj 0 → bucket 0)
+    val vecs = (gauss ++ degenerate).toDF("vec_id", "embedding")
     val diff = vecs.select(
         Ann.hyperplaneBucket(col("embedding"), 64, 8).as("native"),
         Ann.hyperplaneBucketComposed(col("embedding"), 64, 8).as("hof"))
-      .filter(col("native") =!= col("hof")).count()
+      .filter(!(col("native") <=> col("hof"))).count()
     assert(diff === 0)
-    val dv = vecs.select(col("embedding").cast("array<double>").as("e"))
+    assert(vecs.filter(col("vec_id") === 900L)
+      .select(Ann.hyperplaneBucket(col("embedding"), 64, 8)).head.getInt(0) === 0)
+    val dv = vecs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
     val diffD = dv.select(
         Ann.hyperplaneBucket(col("e"), 64, 12).as("native"),
         Ann.hyperplaneBucketComposed(col("e"), 64, 12).as("hof"))
-      .filter(col("native") =!= col("hof")).count()
+      .filter(!(col("native") <=> col("hof"))).count()
     assert(diffD === 0)
   }
 
   test("native cosine_sim is bit-identical to the composed HOF spelling") {
-    // float and double element types, including negative and zero norms
-    val vecs = (0L until 50L).map { i =>
+    // float and double element types; null-SAFE comparison (a =!= filter
+    // would drop NULL-vs-value rows and hide divergences — review finding).
+    // Parity runs on well-formed vectors only: under Spark 4's default
+    // ANSI mode the COMPOSED spelling throws on a zero-norm divisor, which
+    // is exactly why the native kernel's NULL is tested separately below.
+    val gauss = (0L until 50L).map { i =>
       val r = new scala.util.Random(i)
       (i, Array.fill(64)(r.nextGaussian().toFloat))
-    }.toDF("vec_id", "embedding")
+    }
+    val vecs = gauss.toDF("vec_id", "embedding")
     val pairs = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
     val diff = pairs.select(
         Ann.cosine(col("a.embedding"), col("b.embedding")).as("native"),
         Ann.cosineComposed(col("a.embedding"), col("b.embedding")).as("hof"))
-      .filter(col("native") =!= col("hof")) // exact double equality
+      .filter(!(col("native") <=> col("hof"))) // exact, null-safe
       .count()
     assert(diff === 0)
     // double arrays too
@@ -107,8 +125,31 @@ class AnnSpec extends AnyFunSuite {
       .select(
         Ann.cosine(col("a.embedding"), col("b.embedding")).as("native"),
         Ann.cosineComposed(col("a.embedding"), col("b.embedding")).as("hof"))
-      .filter(col("native") =!= col("hof"))
+      .filter(!(col("native") <=> col("hof")))
       .count()
     assert(diffD === 0)
+  }
+
+  test("native cosine_sim: degenerate inputs yield NULL, never NaN or a crash") {
+    // zero-norm → NULL (a NaN would sort above every real cosine and top
+    // every desc ranking; the composed spelling under default ANSI mode
+    // straight-up THROWS — one degenerate row would kill the job)
+    val vecs = Seq(
+      (0L, Array.fill(64)(1.0f)),
+      (900L, Array.fill(64)(0.0f)),   // zero norm
+      (901L, Array.fill(32)(1.0f)))   // ragged length
+      .toDF("vec_id", "embedding")
+    val pairs = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ka"), col("b.vec_id").as("kb"),
+        Ann.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.isNullAt(2)).toMap
+    assert(pairs((0L, 900L)), "zero-norm pair must be NULL")
+    assert(pairs((0L, 901L)), "ragged pair must be NULL")
+    assert(pairs((900L, 901L)), "doubly-degenerate pair must be NULL")
+    // and a NULL cosine fails thresholds / sorts last instead of winning
+    val kept = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(Ann.cosine(col("a.embedding"), col("b.embedding")) >= 0.0)
+      .count()
+    assert(kept === 0) // only degenerate pairs exist here
   }
 }

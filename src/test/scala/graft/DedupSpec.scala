@@ -140,7 +140,7 @@ class DedupSpec extends AnyFunSuite {
     val diff = df.select(
         graft.dedup.MinhashFoldExpr.minhashFold(col("hs"), 16).as("native"),
         Dedup.minhashFromHashesComposed(col("hs"), 16).as("hof"))
-      .filter(col("native") =!= col("hof")).count()
+      .filter(!(col("native") <=> col("hof"))).count()
     assert(diff === 0)
     // end-to-end signatures over real token arrays, both hash families
     val docs = Seq(
@@ -166,7 +166,7 @@ class DedupSpec extends AnyFunSuite {
       val diff = df.select(
           graft.dedup.SimhashFoldExpr.simhashFold(col("hs"), bits).as("native"),
           Dedup.simhashFromHashesComposed(col("hs"), bits).as("hof"))
-        .filter(col("native") =!= col("hof")).count()
+        .filter(!(col("native") <=> col("hof"))).count()
       assert(diff === 0, s"mismatch at bits=$bits")
     }
   }

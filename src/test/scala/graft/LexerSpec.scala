@@ -128,6 +128,23 @@ class LexerSpec extends AnyFunSuite {
     assert(Lexer.lexMarkup(dt).map(_.text) === Seq("y"))
   }
 
+  test("a quote inside an UNQUOTED attribute value is literal (round-3 review)") {
+    // the quote-aware tag scan must only open a quoted region in value
+    // position (right after '='): an apostrophe inside an unquoted value
+    // must not swallow the rest of the payload up to the next quote/EOF
+    val s = "<img alt=don't><p>can not stop</p>"
+    assert(Lexer.lexMarkup(s).map(_.text) === Seq("can not stop"))
+    // quoted values still protect '>' …
+    assert(Lexer.lexMarkup("""<a href="a>b">lnk</a><p>x y</p>""")
+      .map(_.text) === Seq("lnk", "x y"))
+    // … and quotes after '= ' (with spaces) still open a value
+    assert(Lexer.lexMarkup("""<img alt= "a>b"><p>tail text</p>""")
+      .map(_.text) === Seq("tail text"))
+    // doctype with an apostrophe inside an unquoted token
+    assert(Lexer.lexMarkup("<!DOCTYPE wasn't-html><p>still here</p>")
+      .map(_.text) === Seq("still here"))
+  }
+
   test("CDATA contents are literal text; markup inside is not lexed") {
     val s = "<p>a <![CDATA[x < y & z]]> b</p>"
     val blocks = Lexer.lexMarkup(s)

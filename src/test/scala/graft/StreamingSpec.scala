@@ -60,10 +60,18 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming exact dedup: one representative per digest, batch-equal digest set") {
     val tmp = Files.createTempDirectory("graft_stream_dedup").toString
     import spark.implicits._
-    // 60 turns over 20 distinct payloads → exactly 3 copies of each text
+    // 60 turns over 20 distinct payloads (3 copies each) — and the copies
+    // vary in CASE and internal whitespace, which the shared
+    // Dedup.fingerprint normalization must collapse exactly like the batch
+    // exact-dedup keeper (round-3 review: the stream hashed raw text)
     val rows = (0 until 60).map { i =>
-      (f"d${i % 7}%04d", i, "user", s"duplicate payload number ${i % 20}",
-        null.asInstanceOf[String],
+      val base = s"duplicate payload number ${i % 20}"
+      val variant = (i / 20) match {
+        case 0 => base
+        case 1 => base.toUpperCase
+        case _ => base.replace(" ", "  ")
+      }
+      (f"d${i % 7}%04d", i, "user", variant, null.asInstanceOf[String],
         java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00"))
     }
     rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
@@ -75,12 +83,15 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination(120000)
 
     val streamed = spark.table("dedup_out")
-    assert(streamed.count() === 20) // one representative per distinct payload
+    assert(streamed.count() === 20) // one representative per normalized payload
     assert(streamed.select("digest").distinct().count() === 20)
-    // digest set equals the batch pipeline's distinct content digests
-    val batchDigests = Extract.pipeline(spark.read.parquet(s"$tmp/in"))
-      .filter(col("text") =!= lit(""))
-      .select(md5(col("text")).as("digest")).distinct()
+    // digest set equals the batch exact-dedup keepers over the same corpus
+    val batchDigests = graft.dedup.Dedup.exact(
+        Extract.pipeline(spark.read.parquet(s"$tmp/in"))
+          .filter(col("text") =!= lit(""))
+          .withColumn("key", concat(col("conv_id"), lit(":"), col("turn_idx"))),
+        "key", "text")
+      .filter(col("keep")).select(col("fingerprint").as("digest"))
     assert(streamed.select("digest").exceptAll(batchDigests).count() === 0)
     assert(batchDigests.exceptAll(streamed.select("digest")).count() === 0)
   }
