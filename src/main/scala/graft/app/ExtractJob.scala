@@ -61,7 +61,10 @@ object ExtractJob {
     val params = s"nBuckets=$nBuckets\nsalts=$salts"
     val current = TableIO.currentSnapshot(spark, table)
     val snap = TableIO.snapshots(spark, table)
-      .filter(s => current.forall(_ < s)).lastOption
+      // NUMERIC compare (string compare of snap names misorders once the
+      // %05d format widens — round-3 review finding)
+      .filter(s => current.forall(c => TableIO.snapNum(c) < TableIO.snapNum(s)))
+      .lastOption
       .filter(s => TableIO.readSidecar(spark, table, s, "params")
         .contains(params))
       .getOrElse(TableIO.nextSnapshotName(spark, table))
@@ -69,13 +72,21 @@ object ExtractJob {
     val turns = spark.read.parquet(in)
     val salted = Scale.saltedRepartition(
       turns, partitions = cpus * 4, salts = salts)
+    // Observation (not a bare .observe name): the metrics are retrieved
+    // after the write action and printed — the bare-name spelling computed
+    // the aggregates on every row and silently discarded them (round-3
+    // review finding)
+    val obs = org.apache.spark.sql.Observation("extract_metrics")
     val extracted = Extract.pipeline(salted)
-      .observe("extract_metrics",
+      .observe(obs,
         count(lit(1)).as("turns_out"),
         sum(when(col("text") === "", 1).otherwise(0)).as("empty_turns"),
         sum(length(col("text"))).as("chars_out"))
     val written = Scale.resumableWrite(extracted,
       TableIO.dataDir(table, snap), s"$table/$snap/manifest", nBuckets)
+    val m = obs.get
+    System.err.println(s"[extract_metrics] turns_out=${m("turns_out")} " +
+      s"empty_turns=${m("empty_turns")} chars_out=${m("chars_out")}")
     TableIO.publish(spark, table, snap)
     (snap, written)
   }

@@ -40,7 +40,12 @@ object Multimodal {
     * extension; width/height/duration stay 0 until the (stubbed) decode
     * stage fills them. Round 1 only had the synthetic stand-in. */
   def fromBinaryFiles(spark: SparkSession, dir: String): DataFrame = {
-    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    // extension comes from the BASENAME: splitting the full path on '.'
+    // made any dotted directory ('/data/v1.2/img0001') or extensionless
+    // file yield a garbage codec (round-3 review finding)
+    val base = element_at(split(col("path"), "/"), -1)
+    val ext = when(base.contains("."),
+      lower(element_at(split(base, "\\."), -1))).otherwise(lit(""))
     val kind = when(ext.isin("png", "jpg", "jpeg", "tif", "tiff", "bmp"), "image")
       .when(ext.isin("wav", "mp3", "flac"), "audio")
       .when(ext.isin("mp4", "avi", "mkv"), "video")
@@ -98,13 +103,16 @@ object Multimodal {
 
   /** Frame-sample stage: every video row explodes into ceil(duration/stepMs)
     * frame rows keyed (media_id, frame_idx) — the row-explosion shape a real
-    * frame sampler needs; frame payload is the stubbed decode output. */
+    * frame sampler needs; frame payload is the stubbed decode output.
+    * Zero/unknown-duration videos (every row fromBinaryFiles emits until
+    * decode fills durations) produce ZERO frames per the contract — the old
+    * greatest(…, 0) floor emitted one spurious frame each (round-3 review
+    * finding). */
   def frameSample(media: DataFrame, stepMs: Int): DataFrame =
-    media.filter(col("meta.kind") === "video")
+    media.filter(col("meta.kind") === "video" && col("meta.durationMs") > 0)
       .withColumn("frame_idx",
         explode(sequence(lit(0),
-          greatest(ceil(col("meta.durationMs").cast("double") / stepMs).cast("int") - 1,
-            lit(0)))))
+          ceil(col("meta.durationMs").cast("double") / stepMs).cast("int") - 1)))
       .select(col("media_id"), col("frame_idx"),
         (col("frame_idx") * stepMs).as("frame_ts_ms"))
 }

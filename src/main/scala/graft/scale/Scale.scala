@@ -54,13 +54,22 @@ object Scale {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  private def nonEmptyDir(spark: SparkSession, path: String): Boolean = {
+  /** True iff the dir holds at least one actual parquet data file. A
+    * listing check alone is NOT enough: a job that crashed mid manifest
+    * append leaves only a `_temporary` subdir, and schema inference over
+    * that throws — permanently bricking resume at the exact crash-recovery
+    * step the manifest exists for (round-3 review finding). Hidden entries
+    * (`_…`, `.…`) are the same set Spark's file index skips. */
+  private def hasDataFiles(spark: SparkSession, path: String): Boolean = {
     val (fs, p) = fsFor(spark, path)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
   def completedBuckets(spark: SparkSession, manifestDir: String): Set[Int] = {
-    if (!nonEmptyDir(spark, manifestDir)) Set.empty
+    if (!hasDataFiles(spark, manifestDir)) Set.empty
     else spark.read.parquet(manifestDir)
       .select("bucket").distinct().collect().map(_.getInt(0)).toSet
   }

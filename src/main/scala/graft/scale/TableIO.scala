@@ -53,20 +53,30 @@ object TableIO {
     }
   }
 
-  /** All snapshot names present on disk (published or not), ascending. */
+  /** All snapshot names present on disk (published or not), ascending
+    * NUMERICALLY — the %05d format widens at snapshot 100000, where a
+    * lexicographic sort puts snap-100000 before snap-99999 and every
+    * ordering consumer (latestComplete fallback, resume filter,
+    * expireSnapshots) misorders forever after (round-3 review finding). */
   def snapshots(spark: SparkSession, tableDir: String): Seq[String] = {
     val (f, dir) = fs(spark, tableDir)
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("snap-")).sorted
+      .filter(n => n.startsWith("snap-") &&
+        n.stripPrefix("snap-").nonEmpty &&
+        n.stripPrefix("snap-").forall(_.isDigit))
+      .sortBy(_.stripPrefix("snap-").toLong)
   }
+
+  /** Numeric id of a snapshot name — the ONLY way snapshot names may be
+    * compared (string compare breaks at the %05d width change). */
+  def snapNum(name: String): Long = name.stripPrefix("snap-").toLong
 
   /** Next unused snapshot name — max+1, not count+1: after
     * expireSnapshots a count-based name could sort BELOW a surviving newer
     * snapshot. */
   def nextSnapshotName(spark: SparkSession, tableDir: String): String = {
-    val maxN = snapshots(spark, tableDir)
-      .map(_.stripPrefix("snap-").toInt).maxOption.getOrElse(0)
+    val maxN = snapshots(spark, tableDir).map(snapNum).maxOption.getOrElse(0L)
     f"snap-${maxN + 1}%05d"
   }
 
@@ -146,7 +156,12 @@ object TableIO {
     val spark = df.sparkSession
     val next = nextSnapshotName(spark, tableDir)
     val sorted = if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(df(_)): _*) else df
-    sorted.write.mode("overwrite").parquet(dataDir(tableDir, next))
+    // a 0-partition frame writes only _SUCCESS, publishing a snapshot that
+    // readTable can never schema-infer (round-3 review finding) — force one
+    // task so even an empty snapshot carries a schema-bearing parquet file
+    val nonEmptyPlan =
+      if (sorted.rdd.getNumPartitions == 0) sorted.repartition(1) else sorted
+    nonEmptyPlan.write.mode("overwrite").parquet(dataDir(tableDir, next))
     publish(spark, tableDir, next)
     next
   }

@@ -29,9 +29,15 @@ object Sessionize {
   def assign(events: DataFrame, gapUs: Long = 600000000L): Dataset[SessionAssign] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // null ts → MinValue+1: sorts first within its micro-batch (the batch
+    // twin's nulls-first ordering) instead of an encoder NPE on the
+    // non-nullable Long field, which would kill the whole streaming query
+    // on one malformed event (round-3 review finding). MinValue itself
+    // stays reserved for the no-events-seen state sentinel.
     events.select(col("event_id").cast("long").as("event_id"),
         col("user_id").cast("long").as("user_id"),
-        unix_micros(col("ts").cast("timestamp")).as("us"))
+        coalesce(unix_micros(col("ts").cast("timestamp")),
+          lit(Long.MinValue + 1)).as("us"))
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionAssign](

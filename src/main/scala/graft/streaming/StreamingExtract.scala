@@ -27,17 +27,12 @@ object StreamingExtract {
 
   /** Streaming twin of the batch quarantine table (S13): turns whose
     * payload yields zero content blocks, routed to their own sink instead
-    * of polluting the main table. Same per-turn rule as
-    * [[graft.extract.Extract.quarantine]], so batch ≡ stream row-for-row
-    * (StreamingSpec). Stateless filter — no watermark needed. */
+    * of polluting the main table. THE batch rule applied to a streaming
+    * frame — calling [[graft.extract.Extract.quarantine]] itself (pure
+    * projections, streaming-compatible) rather than re-spelling its body,
+    * so the batch ≡ stream contract can't drift (round-3 review finding). */
   def quarantineStream(spark: SparkSession, dir: String): DataFrame =
-    fromParquetDir(spark, dir)
-      .filter(org.apache.spark.sql.functions.col("text") ===
-        org.apache.spark.sql.functions.lit(""))
-      .select(
-        org.apache.spark.sql.functions.col("conv_id"),
-        org.apache.spark.sql.functions.col("turn_idx"),
-        org.apache.spark.sql.functions.lit("no_content_blocks").as("reason"))
+    Extract.quarantine(spark.readStream.schema(turnSchema).parquet(dir))
 
   /** Streaming exact dedup at ingest — the streaming twin of
     * [[graft.dedup.Dedup.exact]]: exactly one representative per extracted-

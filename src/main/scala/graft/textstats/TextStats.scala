@@ -42,29 +42,6 @@ object TextStats {
     cascade.get.otherwise("und")
   }
 
-  /** Quality-score features over raw text (reference analog: the density
-    * pruning P5/P6 + no_below filters; re-usable as E2 block features):
-    * length, punctuation ratio, digit ratio, stopword ratio, mean token
-    * length. Returns a struct column. */
-  def qualityFeatures(text: Column, stops: Seq[String]): Column = {
-    val len = length(text)
-    val punct = len - length(regexp_replace(text, "[\\p{Punct}]", ""))
-    val digits = len - length(regexp_replace(text, "[0-9]", ""))
-    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    val stopArr = array(stops.map(lit): _*)
-    val stopHits = size(filter(toks, t => array_contains(stopArr, t)))
-    val nToks = size(toks)
-    struct(
-      len.as("n_chars"),
-      nToks.as("n_tokens"),
-      round(punct.cast("double") / greatest(len, lit(1)), 6).as("punct_ratio"),
-      round(digits.cast("double") / greatest(len, lit(1)), 6).as("digit_ratio"),
-      round(stopHits.cast("double") / greatest(nToks, lit(1)), 6).as("stop_ratio"),
-      round((len - nToks + 1).cast("double") / greatest(nToks, lit(1)), 6)
-        .as("mean_tok_len")
-    )
-  }
-
   /** Scalar quality score in parts-per-million of [0,1]: linear blend of
     * feature penalties — the "quality scoring" stage of a pretraining-data
     * pipeline. Integer arithmetic throughout (scaled by 1e6, truncating
@@ -112,8 +89,10 @@ object TextStats {
     aggregate(tokens, lit(1125899906842597L),
       (acc, t) => acc * lit(31L) + xxhash64(t))
 
-  /** Exact content fingerprint usable in cross-engine oracles: md5 of the
-    * lowercased, whitespace-collapsed text. */
+  /** Exact content fingerprint usable in cross-engine oracles — delegates
+    * to [[graft.dedup.Dedup.fingerprint]], THE one normalization
+    * definition (round-3 review: an independent spelling here is exactly
+    * the drift that broke the streaming digest). */
   def md5Fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(text), "\\s+", " "))
+    graft.dedup.Dedup.fingerprint(text)
 }
