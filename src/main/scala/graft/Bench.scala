@@ -48,7 +48,7 @@ object Bench {
 
     // ---- build the bench corpus once (untimed, deterministic; path carries
     // a generator version so a code change never reuses a stale cache)
-    val input = s"/tmp/graft_bench_input_v2_$nTurns"
+    val input = s"/tmp/graft_bench_input_v3_$nTurns" // v3: 14-digit conv_id pad
     if (!new java.io.File(s"$input/_SUCCESS").exists) {
       val s = session(cpus)
       s.sparkContext.setLogLevel("ERROR")

@@ -1296,13 +1296,13 @@ object SparkEntry {
           cells AS (
             SELECT g.threshold,
               CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(CASE WHEN sc.score >= g.threshold AND sc.score > 0.5
+              CAST(sum(CASE WHEN sc.score > g.threshold AND sc.score > 0.5
                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-              CAST(sum(CASE WHEN sc.score >= g.threshold AND sc.score <= 0.5
+              CAST(sum(CASE WHEN sc.score > g.threshold AND sc.score <= 0.5
                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-              CAST(sum(CASE WHEN sc.score < g.threshold AND sc.score <= 0.5
+              CAST(sum(CASE WHEN sc.score <= g.threshold AND sc.score <= 0.5
                 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
-              CAST(sum(CASE WHEN sc.score < g.threshold AND sc.score > 0.5
+              CAST(sum(CASE WHEN sc.score <= g.threshold AND sc.score > 0.5
                 THEN 1 ELSE 0 END) AS BIGINT) AS fn
             FROM sc CROSS JOIN g GROUP BY 1)
           SELECT threshold, n, tp, fp, tn, fn,

@@ -121,7 +121,11 @@ object Transcripts {
       """)
     base
       .withColumn("conv", conv)
-      .withColumn("conv_id", concat(lit("c"), lpad(col("conv").cast("string"), 8, "0")))
+      // 14-digit pad: Spark lpad TRUNCATES longer strings, so an 8-wide pad
+      // silently COLLIDED conv_ids once conv counts passed 10^8 — breaking
+      // (conv_id, turn_idx) uniqueness exactly at the advertised 10^12-turn
+      // scale (round-3 review finding). 14 digits covers 10^14 convs.
+      .withColumn("conv_id", concat(lit("c"), lpad(col("conv").cast("string"), 14, "0")))
       .withColumn("turn_idx",
         when(col("conv") === 0, col("id")).otherwise((col("id") % turnsPerConv)).cast("int"))
       .withColumn("role",

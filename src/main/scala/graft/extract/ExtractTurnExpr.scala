@@ -112,11 +112,19 @@ object ExtractTurnExpr {
     false
   }
 
+  /** Text length in CODE POINTS — Spark's `length()` (and DuckDB's, which
+    * the oracles use) counts characters, not UTF-16 units; Java
+    * String.length counts units, so astral text ('🙂🙂'.length == 4 but
+    * length() == 2) flipped the len<3 rule and every length-normalized
+    * score feature between the native and composed paths (round-3 review
+    * finding). */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
   /** Rule tier — mirrors Extract.classified's CASE exactly (incl. the
     * markup-only scope of the short-block rule: layout lines and tool
     * results are positionally recovered content regardless of length). */
   private def ruleContent(blk: Block): Boolean = {
-    val len = blk.text.length
+    val len = cpLen(blk.text)
     if (pathChrome(blk.path)) false
     else if (len == 0) false
     else if (blk.linkChars.toDouble / len > 0.5) false
@@ -128,7 +136,7 @@ object ExtractTurnExpr {
   private def scoredContent(blk: Block, w: Array[Double], b: Double,
                             threshold: Double): Boolean = {
     if (pathChrome(blk.path)) return false
-    val len = blk.text.length
+    val len = cpLen(blk.text)
     val f0 = math.min(len.toDouble / 256.0, 1.0)
     val denom = math.max(len, 1)
     val f1 = blk.linkChars.toDouble / denom

@@ -128,7 +128,11 @@ object Lexer {
         //   <!DOCTYPE …>      declaration — skipped (quote-aware)
         //   <?… ?>            processing instruction — skipped
         if (s.startsWith("<!--", i)) {
-          val e = s.indexOf("-->", i + 4)
+          // search from i+2, not i+4: HTML5's complete comments '<!-->' and
+          // '<!--->' close on dashes shared with the opener; searching past
+          // them never terminated and dropped the rest of the payload
+          // (round-3 review finding)
+          val e = s.indexOf("-->", i + 2)
           i = if (e < 0) n else e + 3
         } else if (s.startsWith("<![CDATA[", i)) {
           val e = s.indexOf("]]>", i + 9)
@@ -202,12 +206,15 @@ object Lexer {
               stack += name
             }
           } else {
-            // inline tag
+            // inline tag. A SELF-CLOSED anchor (<a/>) opens no link region —
+            // incrementing linkDepth with no matching close made all
+            // following text count as linkChars, flipping whole content
+            // blocks to chrome via link density (round-3 review finding).
             if (dropDepth == 0) {
               nTags += 1
               if (name == "a") {
                 if (close) { if (linkDepth > 0) linkDepth -= 1 }
-                else { nLinks += 1; linkDepth += 1 }
+                else { nLinks += 1; if (!selfClosed) linkDepth += 1 }
               }
             }
           }
@@ -226,7 +233,13 @@ object Lexer {
               try {
                 val cp = Integer.parseInt(body.substring(if (hex) 2 else 1),
                   if (hex) 16 else 10)
-                if (Character.isValidCodePoint(cp) && cp > 0)
+                // surrogate-range refs (&#xD800;–&#xDFFF;) pass
+                // isValidCodePoint but decode to LONE UTF-16 surrogates
+                // that re-encode as replacement chars — treat as invalid
+                // (literal '&' path) like any other bad ref (round-3
+                // review finding)
+                if (Character.isValidCodePoint(cp) && cp > 0 &&
+                    !(cp >= 0xD800 && cp <= 0xDFFF))
                   (new String(Character.toChars(cp)), semi + 1 - i)
                 else ("&", 1)
               } catch { case _: NumberFormatException => ("&", 1) }
@@ -313,18 +326,32 @@ object Lexer {
 
   // ---------------------------------------------------------------- tool json
 
-  /** Tool-call JSON payload: extract the string value of the "result" key.
+  /** Tool-call JSON payload: extract the string value of the "result" KEY.
     * Minimal JSON string scanner with escape handling; offsets reference the
-    * raw (escaped) region inside the payload. */
+    * raw (escaped) region inside the payload. A candidate occurrence only
+    * counts as the key when a ':' follows (after optional spaces) — a decoy
+    * VALUE equal to "result" ({"msg":"result","result":"x"}) is followed by
+    * ',' or '}' and previously aborted the whole extraction (round-3 review
+    * finding). No result key, or a non-string result value, falls back to
+    * emitting the whole payload — best-effort passthrough beats dropping
+    * the turn. */
   def lexToolJson(s: String): Seq[Block] = {
     val key = "\"result\""
-    val ki = s.indexOf(key)
-    if (ki < 0) return Seq(Block.make("", "", s, 0, s.length, 0, 0, 0))
-    var i = ki + key.length
     val n = s.length
-    while (i < n && (s.charAt(i) == ' ' || s.charAt(i) == ':')) i += 1
-    if (i >= n || s.charAt(i) != '"') return Seq.empty
-    i += 1
+    var ki = s.indexOf(key)
+    var vi = -1
+    while (ki >= 0 && vi < 0) {
+      var j = ki + key.length
+      while (j < n && s.charAt(j) == ' ') j += 1
+      if (j < n && s.charAt(j) == ':') {
+        j += 1
+        while (j < n && s.charAt(j) == ' ') j += 1
+        vi = j
+      } else ki = s.indexOf(key, ki + 1)
+    }
+    if (vi < 0 || vi >= n || s.charAt(vi) != '"')
+      return Seq(Block.make("", "", s, 0, s.length, 0, 0, 0))
+    var i = vi + 1
     val start = i
     val sb = new java.lang.StringBuilder(n - i)
     var done = false
@@ -332,15 +359,24 @@ object Lexer {
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < n) {
         s.charAt(i + 1) match {
-          case '"'  => sb.append('"')
-          case '\\' => sb.append('\\')
-          case 'n'  => sb.append('\n')
-          case 't'  => sb.append('\t')
-          case 'r'  => sb.append('\r')
-          case '/'  => sb.append('/')
-          case o    => sb.append('\\').append(o)
+          // \uXXXX decodes like the other escapes — leaving it literal made
+          // unicode tool output fail per-turn text equality (round-3 review)
+          case 'u' if i + 5 < n &&
+              (2 to 5).forall(o => Character.digit(s.charAt(i + o), 16) >= 0) =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case o =>
+            o match {
+              case '"'  => sb.append('"')
+              case '\\' => sb.append('\\')
+              case 'n'  => sb.append('\n')
+              case 't'  => sb.append('\t')
+              case 'r'  => sb.append('\r')
+              case '/'  => sb.append('/')
+              case x    => sb.append('\\').append(x)
+            }
+            i += 2
         }
-        i += 2
       } else if (c == '"') { done = true }
       else { sb.append(c); i += 1 }
     }

@@ -28,19 +28,12 @@ import org.apache.spark.sql.functions._
 object Lda {
 
   /** Long-form BOW (docKey, token_id, cnt) → (docKey, features: Vector).
-    * Sparse-vector assembly is RELATIONAL — groupBy + sort_array(
-    * collect_list) runs with map-side partial aggregation; the RDD hop is
-    * only the final Vector construction (round-2 VERDICT #3: never
-    * groupByKey ungrouped pairs). */
+    * Relational assembly via [[SparseAssembly.grouped]] (partial-agg
+    * shuffle); the typed hop is only the final Vector construction. */
   def assemble(bow: DataFrame, docKey: String, vocabSize: Int): DataFrame = {
     val spark = bow.sparkSession
     import spark.implicits._
-    bow.select(col(docKey).cast("long").as("k"),
-        struct(col("token_id").cast("int").as("i"),
-          col("cnt").cast("double").as("v")).as("p"))
-      .groupBy(col("k"))
-      .agg(sort_array(collect_list(col("p"))).as("ps"))
-      .as[(Long, Seq[(Int, Double)])]
+    SparseAssembly.grouped(bow, docKey, "cnt")
       .map { case (doc, ps) =>
         (doc, Vectors.sparse(vocabSize, ps.map(_._1).toArray,
           ps.map(_._2).toArray): Vector)

@@ -37,20 +37,10 @@ object Lsa {
     val spark = tfidf.sparkSession
     import spark.implicits._
     require(k <= vocabSize, s"k=$k exceeds vocabSize=$vocabSize")
-    // Sparse-vector assembly is RELATIONAL: groupBy + collect_list runs as
-    // an ObjectHashAggregate with partial (map-side) aggregation, so the
-    // shuffle carries one pre-grouped buffer per (partition, doc) instead
-    // of one ungrouped Java-serialized record per (token, value) pair —
-    // round 2 spelled this as RDD groupByKey, whose ungrouped shuffle and
-    // per-key array build were the q44 bottleneck (1.94 s, slowest query)
-    // and the scale-killer at 10^12 turns (round-2 VERDICT #3).
-    val docVecs = tfidf
-      .select(col(docKey).cast("long").as("k"),
-        struct(col("token_id").cast("int").as("i"),
-          col(valueCol).cast("double").as("v")).as("p"))
-      .groupBy(col("k"))
-      .agg(sort_array(collect_list(col("p"))).as("ps"))
-      .as[(Long, Seq[(Int, Double)])]
+    // Relational assembly via SparseAssembly.grouped (partial-agg shuffle —
+    // see that file for the round-2 groupByKey history); the RDD hop is
+    // only the final mllib-vector construction RowMatrix needs.
+    val docVecs = SparseAssembly.grouped(tfidf, docKey, valueCol)
       .rdd
       .map { case (doc, ps) =>
         (doc, OldVectors.sparse(vocabSize, ps.map(_._1).toArray,
@@ -61,13 +51,18 @@ object Lsa {
     // the lazy projection map below re-reads them from cache at query time
     // (do NOT unpersist here: the returned frame still depends on it).
     val svd = new RowMatrix(docVecs.values).computeSVD(k, computeU = false)
+    // ARPACK may converge fewer than k singular vectors on a corpus whose
+    // numerical rank is below k — indexing V past its real column count
+    // read out of bounds (round-3 review finding). Dimensions beyond the
+    // rank stay zero in the (still k-sized) projection.
+    val kEff = math.min(k, svd.V.numCols)
     val vb = spark.sparkContext.broadcast(svd.V)
     val out = docVecs.map { case (doc, vec) =>
       val v = vb.value
       val proj = new Array[Double](k)
       vec.foreachActive { (i, x) =>
         var j = 0
-        while (j < k) { proj(j) += x * v(i, j); j += 1 }
+        while (j < kEff) { proj(j) += x * v(i, j); j += 1 }
       }
       val n = math.sqrt(proj.map(p => p * p).sum)
       (doc, if (n == 0.0) proj.toSeq else proj.map(_ / n).toSeq)

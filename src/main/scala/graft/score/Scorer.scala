@@ -162,7 +162,10 @@ object Scorer {
     *         recall (6dp — engine-portable) */
   def thresholdGrid(scored: DataFrame, scoreCol: String, labelCol: String,
                     positive: String, thresholds: Seq[Double]): DataFrame = {
-    val pred = col("s") >= col("threshold")
+    // STRICT >, matching the production labeling rule (scoreLabeled /
+    // scoredContent both use score > threshold) — a >= grid misattributed
+    // boundary scores at the deployed operating point (round-3 review)
+    val pred = col("s") > col("threshold")
     val pos = col("pos")
     scored
       .select(col(scoreCol).as("s"), (col(labelCol) === positive).as("pos"),

@@ -22,7 +22,7 @@ object BenchScaling {
     val runs = if (args.length > 2) args(2).toInt else 3
     // SAME generator-versioned cache path as Bench — a divergent path here
     // reused stale pre-v2 corpora (round-1 ADVICE finding)
-    val input = s"/tmp/graft_bench_input_v2_$n"
+    val input = s"/tmp/graft_bench_input_v3_$n"
     if (!new java.io.File(s"$input/_SUCCESS").exists) {
       val s = session(32); s.sparkContext.setLogLevel("ERROR")
       Transcripts.synthetic(s, n, 20).drop("doc_text")

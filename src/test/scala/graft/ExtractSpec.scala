@@ -83,7 +83,7 @@ class ExtractSpec extends AnyFunSuite {
     assert(out.count() === 3000)
     // conversation 0 holds 100x the turns
     val sizes = out.groupBy("conv_id").count()
-    assert(sizes.filter(col("conv_id") === "c00000000").head().getLong(1) === 1000L)
+    assert(sizes.filter(col("conv_id") === "c" + "0" * 14).head().getLong(1) === 1000L)
     val joined = skewed.select(col("conv_id"), col("turn_idx"), col("doc_text"))
       .join(out, Seq("conv_id", "turn_idx"))
     assert(joined.filter(col("text") =!= col("doc_text")).count() === 0)
@@ -120,7 +120,12 @@ class ExtractSpec extends AnyFunSuite {
       "<!-- hidden -->", "<!DOCTYPE html>", "<?pi x?>",
       "<![CDATA[raw < & text]]>", "<a href=\"a>b\">lnk</a>",
       "&#39;", "&#x27;", "&#xZZ;", "<!--", "]]>",
-      "%PDFISH\n10 10 a")
+      "%PDFISH\n10 10 a",
+      // round-3 review paths: non-BMP text (UTF-16 length vs code-point
+      // length diverged between native and composed), unquoted-attr
+      // apostrophes, self-closed anchors, tiny comments, surrogate refs
+      "<p>🙂🙂</p>", "😀 ok",
+      "<img alt=don't>", "<a/>", "<!-->", "&#xD800;")
     var seed = 12345L
     def nextInt(bound: Int): Int = {
       seed = seed * 6364136223846793005L + 1442695040888963407L

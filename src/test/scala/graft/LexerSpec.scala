@@ -145,6 +145,37 @@ class LexerSpec extends AnyFunSuite {
       .map(_.text) === Seq("still here"))
   }
 
+  test("round-3 review regressions: self-closed anchor, tiny comments, surrogate refs") {
+    // <a/> opens no link region — all following text used to count as
+    // linkChars and flip the block to chrome via link density
+    val blocks = Lexer.lexMarkup("<div><a/>hello world this is real content</div>")
+    assert(blocks.map(_.text) === Seq("hello world this is real content"))
+    assert(blocks.head.linkChars === 0)
+    assert(blocks.head.nLinks === 1)
+    // HTML5-complete comments '<!-->' and '<!--->' terminate
+    assert(Lexer.lexMarkup("<!-->ok<div>real content</div>").map(_.text)
+      === Seq("ok", "real content"))
+    assert(Lexer.lexMarkup("<!--->ok<p>x y</p>").map(_.text) === Seq("ok", "x y"))
+    // surrogate-range numeric refs stay literal instead of decoding to
+    // lone surrogates that re-encode as replacement chars
+    assert(Lexer.lexMarkup("<p>a&#xD800;b</p>").head.text === "a&#xD800;b")
+  }
+
+  test("tool json: decoy values, non-string results, unicode escapes (round-3)") {
+    // a VALUE equal to "result" must not abort the search for the key
+    assert(Lexer.lexToolJson("""{"msg":"result","result":"actual output"}""")
+      .map(_.text) === Seq("actual output"))
+    // non-string result value → whole-payload passthrough, not a dropped turn
+    val obj = """{"result":{"x":1}}"""
+    assert(Lexer.lexToolJson(obj).map(_.text) === Seq(obj))
+    // \uXXXX decodes like the other escapes
+    assert(Lexer.lexToolJson("{\"result\":\"caf\\u00e9 A\"}")
+      .map(_.text) === Seq("café A"))
+    // malformed \u stays literal
+    assert(Lexer.lexToolJson("{\"result\":\"a\\uZZ99b\"}")
+      .map(_.text) === Seq("a\\uZZ99b"))
+  }
+
   test("CDATA contents are literal text; markup inside is not lexed") {
     val s = "<p>a <![CDATA[x < y & z]]> b</p>"
     val blocks = Lexer.lexMarkup(s)
