@@ -598,6 +598,10 @@ object SparkEntry {
     "q47_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val bits = Ann.bitsFor(emb.count()) // 4 for every testdata sf (n ≤ 4096)
+      // the oracle replays exactly 4 hyperplanes (generate_series(0,3)) —
+      // fail LOUDLY if a future testdata sf pushes bitsFor past 4 instead of
+      // silently hash-mismatching with no code change (round-3 ADVICE class)
+      require(bits == 4, s"q47 oracle is pinned to bits=4, bitsFor gave $bits")
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
         k = 5, dim = 64, bits = bits, multiProbe = true)
     }),
@@ -662,8 +666,13 @@ object SparkEntry {
     // the bucket equi-join and the threshold end to end.
     "q51_embed_dup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // bits PINNED to 4: the oracle's generate_series(0,3) replays exactly
+      // 4 hyperplanes, and deriving from Ann.bitsFor(count) here silently
+      // diverges from the SQL the moment a testdata sf exceeds 4096
+      // embeddings (round-3 ADVICE). Production sizing remains Ann.bitsFor —
+      // q47 keeps it under the gate with a loud equality guard.
       Dedup.embeddingDupLsh(emb, "vec_id", "embedding",
-        threshold = 0.3, dim = 64, bits = Ann.bitsFor(emb.count()))
+        threshold = 0.3, dim = 64, bits = 4)
     }),
 
     // M4/M5 — LDA topic modeling over the engine BOW (reference:

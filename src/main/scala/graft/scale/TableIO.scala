@@ -48,7 +48,13 @@ object TableIO {
       val in = f.open(ptr)
       try {
         val s = scala.io.Source.fromInputStream(in).mkString.trim
-        if (s.isEmpty) None else Some(s)
+        // a half-written / corrupted pointer (anything but "snap-<digits>")
+        // reads as ABSENT, not a crash in snapNum downstream: callers fall
+        // back to latestComplete (readers) or a fresh snapshot (ExtractJob
+        // resume) — the resume path is exactly where a torn pointer is
+        // plausible (round-3 ADVICE).
+        if (s.startsWith("snap-") && s.stripPrefix("snap-").nonEmpty &&
+            s.stripPrefix("snap-").forall(_.isDigit)) Some(s) else None
       } finally in.close()
     }
   }
@@ -156,14 +162,34 @@ object TableIO {
     val spark = df.sparkSession
     val next = nextSnapshotName(spark, tableDir)
     val sorted = if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(df(_)): _*) else df
+    val dd = dataDir(tableDir, next)
+    sorted.write.mode("overwrite").parquet(dd)
     // a 0-partition frame writes only _SUCCESS, publishing a snapshot that
-    // readTable can never schema-infer (round-3 review finding) — force one
-    // task so even an empty snapshot carries a schema-bearing parquet file
-    val nonEmptyPlan =
-      if (sorted.rdd.getNumPartitions == 0) sorted.repartition(1) else sorted
-    nonEmptyPlan.write.mode("overwrite").parquet(dataDir(tableDir, next))
+    // readTable can never schema-infer (round-3 review finding). Repair
+    // AFTER the write by probing the output dir — probing the input plan
+    // (rdd.getNumPartitions) materializes every AQE shuffle stage, running
+    // a shuffled pipeline once for the probe and again for the write
+    // (round-3 ADVICE: doubled compute on the corpus-scale write API).
+    if (!hasDataFiles(spark, dd))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+        .repartition(1).write.mode("overwrite").parquet(dd)
     publish(spark, tableDir, next)
     next
+  }
+
+  /** Any .parquet data file under `dir` (recursive, short-circuits). */
+  private def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
+    val (f, p) = fs(spark, dir)
+    f.exists(p) && {
+      val it = f.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) found = true
+      }
+      found
+    }
   }
 
   /** Publish `snap`: commit its file manifest, then atomically flip

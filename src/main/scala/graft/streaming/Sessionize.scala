@@ -46,7 +46,13 @@ object Sessionize {
           val sorted = it.toArray.sortBy(e => (e.us, e.event_id))
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
           val out = sorted.map { e =>
-            val newSess = st.lastUs == Long.MinValue || e.us - st.lastUs > gapUs
+            // lastUs <= MinValue+1 covers BOTH sentinels — no-events-seen
+            // (MinValue) and last-event-had-null-ts (MinValue+1). The null-ts
+            // sentinel must short-circuit like the batch twin (q35: prev_us
+            // NULL ⇒ new session) — computing e.us - (MinValue+1) for a real
+            // event overflows and silently glued the next event onto the
+            // sentinel's session (round-3 ADVICE).
+            val newSess = st.lastUs <= Long.MinValue + 1 || e.us - st.lastUs > gapUs
             st = SessionState(e.us, if (newSess) st.idx + 1 else st.idx)
             SessionAssign(e.event_id, e.user_id, st.idx)
           }
