@@ -3,7 +3,7 @@ package graft
 import graft.core.Transcripts
 import graft.extract.Extract
 import graft.scale.Scale
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Benchmark main. Emits ONE JSON line the driver parses.
@@ -116,43 +116,71 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // full untimed warmup pass: whole-stage-codegen classes + JIT compile
     // once per distinct plan, so timings below are steady-state execution
-    // (cold q15_bow costs 17s in plan compile vs 2.6s warm — measured)
+    // (cold q15_bow costs 17s in plan compile vs 2.6s warm — measured).
+    // Timed stat = BEST OF 2 passes per query: the round-3 driver artifact
+    // read the sweep's first four queries at 3–6× their warm cost (the
+    // warmup pass alone left residual JIT/host-ramp cold-start on whichever
+    // queries ran first); best-of-2 bounds any per-query one-off.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     names.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () } }
-    val results = names.map { case (name, fn) =>
+    def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = names.map { case (name, fn) =>
+      name -> math.min(timeOnce(fn), timeOnce(fn))
+    }
+    def r3(x: Double) = math.rint(x * 1000) / 1000.0
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // headline = MEDIAN local[32] throughput (the deployment parallelism);
     // per-level bests are reported alongside as the noise-free capability
     // estimate, never as the headline (round-1 ADVICE).
     val headline = tp32
-    def r3(x: Double) = math.rint(x * 1000) / 1000.0
     def arr(xs: Seq[Double]) = xs.map(_.round).mkString("[", ",", "]")
+    // The driver scrapes a bounded stdout tail: round 3's single fat JSON
+    // line (stat prose + raw sample arrays + unrounded query secs) got its
+    // head cut off and never parsed. Emission contract now:
+    //  - stdout carries EXACTLY ONE compact JSON line (headline + gate +
+    //    per-level medians/bests + rounded per-query secs), printed LAST;
+    //  - the full audit record (raw per-run samples, protocol prose) goes
+    //    to a file, with its path announced on its own line.
+    val auditPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_AUDIT", "BENCH/bench_audit_latest.json")
+    val audit =
+      s"""{"protocol":"interleaved fresh-JVM rounds per level (${levels.map(l => s"$l:${runsPerLevel(l)}").mkString("runs ", " ", "")}) x $rounds rounds; fixed up front, no adaptive stopping; headline = median local[32]",
+         |"scaling_pairing":"local2_to_local8 (N vs 4N; below the box bandwidth knee - see BENCH/BASELINE.md)",
+         |"scaling_stat":"ratio of per-level bests over all rounds: host noise is one-sided (steal/throttle only slows), so max_N estimates unimpeded capability",
+         |"samples_local2":${arr(samples(2))},
+         |"samples_local8":${arr(samples(8))},
+         |"samples_local32":${arr(samples(32))},
+         |"query_stat":"best of 2 timed passes after one untimed warmup pass",
+         |"bench_turns":$nTurns}""".stripMargin
+    try {
+      val p = java.nio.file.Paths.get(auditPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, audit)
+      println(s"[bench] raw samples and protocol: $auditPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] audit write failed: ${e.getMessage}")
+      println(audit.replace("\n", ""))
+    }
     println(
       s"""{"metric":"turns_extracted_per_sec","value":${headline.round},"unit":"rows/sec",""" +
-      s""""stat":"median over $rounds interleaved fresh-JVM rounds per level (${levels.map(l => s"$l:${runsPerLevel(l)}").mkString("runs ", " ", "")}; fixed up front, no adaptive stopping)",""" +
       s""""turns_per_sec_local2":${tp2.round},""" +
       s""""turns_per_sec_local8":${tp8.round},"turns_per_sec_local32":${tp32.round},""" +
       s""""turns_per_sec_local2_best":${b2.round},""" +
       s""""turns_per_sec_local8_best":${b8.round},""" +
       s""""turns_per_sec_local32_best":${b32.round},""" +
-      s""""samples_local2":${arr(samples(2))},""" +
-      s""""samples_local8":${arr(samples(8))},""" +
-      s""""samples_local32":${arr(samples(32))},""" +
-      s""""scaling_pairing":"local2_to_local8 (N vs 4N; below the box bandwidth knee - see BENCH/BASELINE.md)",""" +
-      s""""scaling_stat":"ratio of per-level bests over all rounds: host noise is one-sided (steal/throttle only slows), so max_N estimates unimpeded capability; per-round raw samples above",""" +
       s""""scaling_efficiency":${r3(eff28Best)},""" +
       s""""scaling_efficiency_n2_to_n8":${r3(eff28Best)},""" +
       s""""scaling_efficiency_n2_to_n8_median":${r3(eff28Med)},""" +
       s""""scaling_efficiency_n8_to_n32":${r3(eff832Best)},""" +
       s""""scaling_efficiency_n2_to_n32":${r3(eff232Best)},""" +
-      s""""bench_turns":$nTurns,""" +
+      s""""bench_turns":$nTurns,"samples_file":"$auditPath",""" +
       s""""queries_total_sec":${r3(total)},"queries":$qs,"sf":"$sfDir"}""")
     SparkEntry.releaseShared(spark)
     spark.stop()
