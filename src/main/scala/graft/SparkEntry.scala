@@ -644,19 +644,20 @@ object SparkEntry {
           round(col("pc").getItem(1), 4).as("pc2"))
     }),
 
-    // M8 — silhouette of the seeded KMeans clustering (reference:
-    // modules/Silhouette.py:9-36 — viz tier; rows-only, value range pinned
-    // by KMeansSpec).
+    // M8 — per-point silhouette of the seeded KMeans clustering (reference:
+    // modules/Silhouette.py:9-36, sklearn euclidean metric). The cluster
+    // ASSIGNMENT is the iterative MLlib fit (not replayable), so the oracle
+    // is a SELF-CONSISTENCY check (round-3 VERDICT #5): it reads the
+    // exported (vec_id, cluster) back from this query's own parquet output
+    // and recomputes every silhouette value from assignments + embeddings in
+    // SQL — the metric arithmetic is cross-engine-verified even though the
+    // clustering itself cannot be. Sample = vec_id < 500 (sklearn
+    // sample_size analog; the full set at the gated sfs).
     "q50_silhouette" -> ((s, dir) => {
-      import org.apache.spark.ml.evaluation.ClusteringEvaluator
       val (model, emb) = kmeansFitted(s, dir)
-      val assigned = model.transform(emb)
-      val sil = new ClusteringEvaluator().setFeaturesCol("features")
-        .setPredictionCol("prediction").setMetricName("silhouette")
-        .evaluate(assigned)
-      val spark = s
-      import spark.implicits._
-      Seq((10, math.rint(sil * 1e6) / 1e6)).toDF("k", "silhouette")
+      val assigned = model.transform(emb).filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("prediction").as("cluster"), col("embedding"))
+      graft.ml.Silhouette.samples(assigned, "vec_id", "cluster", "embedding")
     }),
 
     // Embedding near-dup SCALE PATH — LSH sign-bucketed pairwise cosine,
@@ -675,13 +676,15 @@ object SparkEntry {
         threshold = 0.3, dim = 64, bits = 4)
     }),
 
-    // M4/M5 — LDA topic modeling over the engine BOW (reference:
-    // gensim LdaMulticore, src/doc_classification.py:39-72): dominant topic
-    // per doc. Rows-only driver check (iterative variational fit — not
-    // engine-portable); topic separation pinned by LdaSpec.
+    // M4/M5/M6 — LDA topic modeling over the engine BOW (reference:
+    // gensim LdaMulticore, src/doc_classification.py:39-72): the full
+    // doc-topic matrix with the dominant flag. Rows-only driver check
+    // (iterative variational fit — not engine-portable); topic separation
+    // pinned by LdaSpec. The exported weights are the replay input for
+    // q56's correlation self-consistency oracle.
     "q52_lda" -> ((s, dir) => {
       val (model, features) = ldaFitted(s, dir)
-      graft.ml.Lda.dominantTopic(model, features, "doc_id")
+      graft.ml.Lda.docTopicMatrix(model, features, "doc_id")
     }),
 
     // M13 — hyperparameter grid search in ONE relational pass (vs the
@@ -721,6 +724,46 @@ object SparkEntry {
       graft.ml.LabelProp.spread(nodes, "vec_id", "label", edges, iters = 2)
     }),
 
+    // M14 at SCALE — the same label spreading with the edge list from the
+    // LSH-bucketed kNN ([[Ann.lshTopK]], bits from bitsFor, multi-probe)
+    // instead of the brute all-pairs build: the exact composition a 10^12-row
+    // corpus runs (round-3 VERDICT #3: this composition never ran under any
+    // gate). The oracle replays bucketed candidate generation end to end
+    // (q47's pattern: buckets → Hamming-1 multi-probe → same-bucket cosine →
+    // top-3) and then both clamped vote rounds (q54's pattern).
+    "q57_label_prop_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val nodes = emb.select(col("vec_id"),
+        when(col("vec_id") % 10 === 0, col("label")).as("label"))
+      val bits = Ann.bitsFor(500) // clamp floor — 4; oracle replays 4 planes
+      require(bits == 4, s"q57 oracle is pinned to bits=4, bitsFor gave $bits")
+      val edges = Ann.lshTopK(emb, emb, "vec_id", "embedding", k = 3,
+        dim = 64, bits = bits, multiProbe = true)
+        .select(col("p_key").as("src"), col("c_key").as("dst"),
+          lit(1.0).as("weight"))
+      graft.ml.LabelProp.spread(nodes, "vec_id", "label", edges, iters = 2)
+    }),
+
+    // MinHash+LSH with the hot-bucket cap BINDING (round-3 VERDICT #4: the
+    // cap ran spec-only — q45 gates maxBucket=0). Every doc_id % 50 == 0 row
+    // is rewritten to one constant 4-token text, so all of them share one
+    // signature and land in ONE bucket per band (population 10 at the gated
+    // sfs, 100 at sf0.1) — maxBucket=5 drops that degenerate bucket from
+    // candidate generation in both engines, exactly the q28 maxShingleDf
+    // pattern: the cap is a semantic parameter the oracle replays, not a
+    // sampling trick. Docs 30/130 form a second, UNDER-cap duplicate group
+    // so the green row shows the cap discriminating (their pair survives
+    // with est_jaccard 1.0) rather than emptying the output.
+    "q58_lsh_bucket_cap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          split(when(col("doc_id").isin(30, 130), lit("eee fff ggg hhh"))
+            .when(col("doc_id") % 50 === 0, lit("aaa bbb ccc ddd"))
+            .otherwise(col("text")), " ").as("tokens"))
+      Dedup.minhashLshMd5(docs, "doc_id", "tokens", k = 3,
+        numHashes = 16, bands = 4, maxBucket = 5)
+    }),
+
     // M18 — held-out log-perplexity of the topic model (reference:
     // log_perplexity, src/doc_classification.py:71). Rows-only scalar.
     "q55_lda_perplexity" -> ((s, dir) => {
@@ -733,11 +776,15 @@ object SparkEntry {
     }),
 
     // M17 — the doc-topic correlation matrix behind the reference's heatmap
-    // (src/doc_classification.py:192-210). Rows-only (LDA-derived).
+    // (src/doc_classification.py:192-210). Correlation over the SAME
+    // 6dp-rounded weights q52 exports, so the oracle can recompute every
+    // corr cell from q52's parquet output (self-consistency — round-3
+    // VERDICT #5): the LDA fit isn't replayable, the Pearson arithmetic is.
     "q56_topic_corr" -> ((s, dir) => {
       val (model, features) = ldaFitted(s, dir)
-      graft.ml.Lda.topicCorr(
-        graft.ml.Lda.docTopics(model, features, "doc_id"), "doc_id")
+      val dt = graft.ml.Lda.docTopics(model, features, "doc_id")
+        .select(col("doc_id"), col("topic"), round(col("weight"), 6).as("weight"))
+      graft.ml.Lda.topicCorr(dt, "doc_id")
     }),
 
     // ---------------------------------------------------------- extraction
@@ -1105,6 +1152,51 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT key_a, key_b, round(slots / 16.0, 6) AS est_jaccard FROM m""",
 
+    // q45's procedure with the degenerate-text rewrite and the hot-bucket
+    // cap replayed: buckets with population > 5 are dropped before pairing.
+    "q58_lsh_bucket_cap" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(CASE
+             WHEN doc_id IN (30, 130) THEN 'eee fff ggg hhh'
+             WHEN doc_id % 50 = 0 THEN 'aaa bbb ccc ddd'
+             ELSE text END, ' ') AS w
+           FROM documents WHERE doc_id % 10 = 0),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - 2, 1)),
+             i -> array_to_string(w[i:i+2], ' ')))) AS sh
+           FROM d),
+         h AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 8))::BIGINT % 2147483647 AS hv
+           FROM sh),
+         hi AS (SELECT unnest(generate_series(0, 15)) AS h_idx),
+         sig AS (
+           SELECT doc_id, h_idx,
+             min((hv * ((1000000007 * (h_idx + 1)) % 2147483647)
+                  + ((998244353 * (h_idx * h_idx + 1)) % 2147483647)) % 2147483647) AS mh
+           FROM h, hi GROUP BY 1, 2),
+         band AS (
+           SELECT doc_id, h_idx // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), ':' ORDER BY h_idx) AS bucket
+           FROM sig GROUP BY 1, 2),
+         small AS (SELECT band, bucket FROM band
+                   GROUP BY band, bucket HAVING count(*) <= 5),
+         bandc AS (SELECT b.doc_id, b.band, b.bucket
+                   FROM band b JOIN small USING (band, bucket)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+           FROM bandc a JOIN bandc b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         m AS (
+           SELECT p.key_a, p.key_b,
+             sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS slots
+           FROM pairs p
+           JOIN sig sa ON sa.doc_id = p.key_a
+           JOIN sig sb ON sb.doc_id = p.key_b AND sb.h_idx = sa.h_idx
+           GROUP BY 1, 2)
+         SELECT key_a, key_b, round(slots / 16.0, 6) AS est_jaccard FROM m""",
+
     "q32_split" ->
       """SELECT vec_id, CAST(label AS INT) AS label,
            row_number() OVER (PARTITION BY CAST(label AS INT)
@@ -1355,6 +1447,61 @@ object SparkEntry {
                 FROM seeds s LEFT JOIN w2 USING (vec_id))
          SELECT vec_id, label FROM l2""",
 
+    // M14 scale composition — kNN edges from the LSH bucket procedure
+    // (q47's replay: 4 deterministic hyperplanes, Hamming-1 multi-probe,
+    // same-bucket cosine, top-3 per src) feeding the same two clamped vote
+    // rounds as q54.
+    "q57_label_prop_lsh" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label
+                    FROM embeddings WHERE vec_id < 500),
+         proj AS (
+           SELECT vec_id, b.b AS b,
+             list_dot_product(e, list_transform(generate_series(0, 63),
+               d -> CAST((b.b*64 + d) * 2654435761 % 1024 - 512 AS DOUBLE))) AS pr
+           FROM v CROSS JOIN generate_series(0, 3) b(b)),
+         bkt AS (
+           SELECT vec_id, CAST(sum(CASE WHEN pr > 0
+             THEN (1 << CAST(b AS INT)) ELSE 0 END) AS INT) AS bucket
+           FROM proj GROUP BY 1),
+         c AS (SELECT v.vec_id AS c_key, v.e AS c_vec, bkt.bucket
+               FROM v JOIN bkt USING (vec_id)),
+         p0 AS (SELECT v.vec_id AS p_key, v.e AS p_vec, bkt.bucket
+                FROM v JOIN bkt USING (vec_id)),
+         p AS (
+           SELECT p_key, p_vec, unnest(list_prepend(bucket,
+             list_transform(generate_series(0, 3),
+               i -> CAST(xor(bucket, 1 << CAST(i AS INT)) AS INT)))) AS bucket
+           FROM p0),
+         cand AS (
+           SELECT DISTINCT p.p_key AS src, c.c_key AS dst,
+             round(list_dot_product(c.c_vec, p.p_vec)
+               / (sqrt(list_dot_product(c.c_vec, c.c_vec))
+                  * sqrt(list_dot_product(p.p_vec, p.p_vec))), 6) AS cos
+           FROM c JOIN p ON c.bucket = p.bucket AND c.c_key <> p.p_key),
+         knn AS (SELECT src, dst FROM (
+           SELECT src, dst, row_number() OVER (PARTITION BY src
+             ORDER BY cos DESC, dst ASC) AS rk FROM cand) WHERE rk <= 3),
+         seeds AS (SELECT vec_id,
+             CASE WHEN vec_id % 10 = 0 THEN label END AS seed FROM v),
+         l0 AS (SELECT vec_id, seed AS label FROM seeds),
+         v1 AS (SELECT k.src AS vec_id, l.label AS nl, count(*) AS w
+                FROM knn k JOIN l0 l ON k.dst = l.vec_id
+                WHERE l.label IS NOT NULL GROUP BY 1, 2),
+         w1 AS (SELECT vec_id, nl FROM (
+           SELECT vec_id, nl, row_number() OVER (PARTITION BY vec_id
+             ORDER BY w DESC, nl ASC) AS rk FROM v1) WHERE rk = 1),
+         l1 AS (SELECT s.vec_id, coalesce(s.seed, w1.nl) AS label
+                FROM seeds s LEFT JOIN w1 USING (vec_id)),
+         v2 AS (SELECT k.src AS vec_id, l.label AS nl, count(*) AS w
+                FROM knn k JOIN l1 l ON k.dst = l.vec_id
+                WHERE l.label IS NOT NULL GROUP BY 1, 2),
+         w2 AS (SELECT vec_id, nl FROM (
+           SELECT vec_id, nl, row_number() OVER (PARTITION BY vec_id
+             ORDER BY w DESC, nl ASC) AS rk FROM v2) WHERE rk = 1),
+         l2 AS (SELECT s.vec_id, coalesce(s.seed, w2.nl) AS label
+                FROM seeds s LEFT JOIN w2 USING (vec_id))
+         SELECT vec_id, label FROM l2""",
+
     // E4 scored extraction — per-turn text equality under the logistic
     // arbiter: reassemble exactly the chunks whose sigmoid clears 0.5.
     "q46_scored_extract" ->
@@ -1379,6 +1526,55 @@ object SparkEntry {
             CAST(j.j - 1 AS INT) AS block_idx,
             round(passed[CAST(j.j AS INT)], 6) AS score
           FROM scd JOIN generate_series(1, 4096) j(j) ON j.j <= len(passed)""",
+
+    // SELF-CONSISTENCY oracles: `__VERIFY_OUT__` is substituted by Verify
+    // with the absolute output dir, so the SQL reads a query's OWN exported
+    // parquet back. The iterative fit (cluster assignment / topic weights)
+    // is taken as given from the export; everything derived from it is
+    // recomputed in SQL and must match the engine bit-for-bit after the
+    // stated rounding.
+
+    // M8 — silhouette arithmetic replayed from the exported assignments:
+    // pairwise euclidean distances (6dp) via the same dot-product algebra
+    // the native cosine kernel uses, mean-to-own / min-mean-to-other, then
+    // (b−a)/max(a,b) at 4dp. Singleton clusters → 0 (sklearn convention).
+    "q50_silhouette" ->
+      """WITH asg AS (SELECT vec_id, cluster
+                      FROM read_parquet('__VERIFY_OUT__/q50_silhouette/*.parquet')),
+         v AS (SELECT a.vec_id, a.cluster, e.embedding::DOUBLE[] AS vec,
+                 list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS n2
+               FROM asg a JOIN embeddings e USING (vec_id)),
+         pairs AS (
+           SELECT a.vec_id AS ka, a.cluster AS ca, b.cluster AS cb,
+             round(sqrt(greatest(a.n2 + b.n2
+               - CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN 0
+                 ELSE 2 * (list_dot_product(a.vec, b.vec)
+                            / (sqrt(a.n2) * sqrt(b.n2)))
+                     * sqrt(a.n2) * sqrt(b.n2) END, 0)), 6) AS dist
+           FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+         own AS (SELECT ka, avg(dist) AS a_mean FROM pairs
+                 WHERE ca = cb GROUP BY 1),
+         oth AS (SELECT ka, min(m) AS b_min FROM (
+             SELECT ka, cb, avg(dist) AS m FROM pairs
+             WHERE ca <> cb GROUP BY 1, 2) GROUP BY 1)
+         SELECT v.vec_id, v.cluster,
+           CASE WHEN own.a_mean IS NULL THEN 0.0
+                WHEN greatest(own.a_mean, oth.b_min) = 0 THEN 0.0
+                ELSE round((oth.b_min - own.a_mean)
+                       / greatest(own.a_mean, oth.b_min), 4)
+           END AS sil
+         FROM v LEFT JOIN own ON v.vec_id = own.ka
+                LEFT JOIN oth ON v.vec_id = oth.ka""",
+
+    // M17 — every Pearson corr cell recomputed from q52's exported
+    // doc-topic weights (the same 6dp values the engine correlates).
+    "q56_topic_corr" ->
+      """WITH dt AS (SELECT doc_id, topic, weight
+                     FROM read_parquet('__VERIFY_OUT__/q52_lda/*.parquet'))
+         SELECT a.topic AS t1, b.topic AS t2,
+           round(corr(a.weight, b.weight), 6) AS corr
+         FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.topic < b.topic
+         GROUP BY 1, 2""",
 
     "q30_extract" ->
       s"""SELECT $OracleConvId AS conv_id, $OracleTurnIdx AS turn_idx, text

@@ -34,7 +34,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Self-consistency oracles read a query's own exported parquet back:
+    // substitute the placeholder with the ABSOLUTE output dir (the driver's
+    // DuckDB process may run with a different cwd).
+    val absOut = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
+      .map { case (k, v) => k -> v.replace("__VERIFY_OUT__", absOut) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     SparkEntry.releaseShared(spark)

@@ -55,6 +55,24 @@ object Lda {
         posexplode(vector_to_array(col("topicDistribution")))
           .as(Seq("topic", "weight")))
 
+  /** M5/M6 — the FULL doc-topic matrix in long form with the dominant flag:
+    * (docKey, topic, weight@6dp, dominant). One row per (doc, topic); the
+    * export both serves the reference's doc-topic matrix read AND gives a
+    * replaying engine the inputs to recompute any matrix-derived statistic
+    * (q56's correlation check recomputes Pearson corr from exactly these
+    * rows). Ties break to the LOWEST topic id (array_position first match). */
+  def docTopicMatrix(model: LDAModel, features: DataFrame,
+                     docKey: String): DataFrame =
+    model.transform(features)
+      .withColumn("dist", vector_to_array(col("topicDistribution")))
+      .select(col(docKey), col("dist"),
+        posexplode(col("dist")).as(Seq("topic", "w")))
+      .select(col(docKey), col("topic").cast("int").as("topic"),
+        round(col("w"), 6).as("weight"),
+        (col("topic") ===
+          (array_position(col("dist"), array_max(col("dist"))) - 1))
+          .as("dominant"))
+
   /** Dominant topic per doc — argmax over the topic distribution as pure
     * column math (no window): array_position of the max. Ties break to the
     * LOWEST topic id (array_position returns the first match). */

@@ -1,0 +1,66 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** M8 — per-point silhouette, relational (reference: sklearn
+  * `silhouette_score`, modules/Silhouette.py:9-36 — euclidean metric).
+  *
+  * For point i in cluster A: a(i) = mean distance to the other members of
+  * A, b(i) = min over other clusters C of the mean distance to C's members,
+  * s(i) = (b−a)/max(a,b); singleton clusters score 0 (sklearn convention).
+  *
+  * Scale shape: the pair space is quadratic IN THE EVALUATION SAMPLE by
+  * definition of the metric — at corpus scale silhouette is evaluated on a
+  * bounded deterministic sample (sklearn's `sample_size` does exactly
+  * this), so n here is the sample size, never the corpus. Distances derive
+  * from the native cosine kernel plus per-row squared norms
+  * (dist² = |a|² + |b|² − 2·cos·|a|·|b| — one codegen'd pass per pair, no
+  * interpreted HOF in the pair loop), rounded 6dp per pair so a replaying
+  * engine folds identical values; MLlib's `ClusteringEvaluator` remains
+  * the squared-euclidean streaming alternative when no per-point output is
+  * needed.
+  */
+object Silhouette {
+
+  /** |v|² accumulated in array order (matches DuckDB list_dot_product). */
+  private def norm2(v: Column): Column =
+    aggregate(v, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** @param df (key, cluster, vec) — the clustered evaluation sample
+    * @return (key, cluster, sil) with sil rounded 4dp */
+  def samples(df: DataFrame, key: String, cluster: String,
+              vec: String): DataFrame = {
+    val base = df.select(col(key).as("k"), col(cluster).as("c"),
+      col(vec).as("v"), norm2(col(vec)).as("n2"))
+    val a = base.select(col("k").as("ka"), col("c").as("ca"),
+      col("v").as("va"), col("n2").as("na"))
+    val b = base.select(col("k").as("kb"), col("c").as("cb"),
+      col("v").as("vb"), col("n2").as("nb"))
+    // dist² from the one-pass native cosine: max(…, 0) guards the −1e-16
+    // a duplicated point can produce (ANSI sqrt of a negative throws), and
+    // a zero-norm vector (cos = NULL by kernel contract) has dot = 0, so
+    // its cross term is exactly 0 — coalesce keeps dist = √(|a|²+|b|²)
+    // instead of nulling every distance that touches the zero vector
+    val pairs = a.join(b, col("ka") =!= col("kb"))
+      .withColumn("cos", graft.sim.Ann.cosine(col("va"), col("vb")))
+      .withColumn("dist", round(sqrt(greatest(
+        col("na") + col("nb")
+          - lit(2.0d) * coalesce(col("cos"), lit(0.0d))
+            * sqrt(col("na")) * sqrt(col("nb")),
+        lit(0.0d))), 6))
+    val own = pairs.filter(col("ca") === col("cb"))
+      .groupBy(col("ka")).agg(avg(col("dist")).as("a_mean"))
+    val oth = pairs.filter(col("ca") =!= col("cb"))
+      .groupBy(col("ka"), col("cb")).agg(avg(col("dist")).as("m"))
+      .groupBy(col("ka")).agg(min(col("m")).as("b_min"))
+    base.select(col("k"), col("c"))
+      .join(own, col("k") === own("ka"), "left_outer").drop("ka")
+      .join(oth, col("k") === oth("ka"), "left_outer").drop("ka")
+      .select(col("k").as(key), col("c").as(cluster),
+        when(col("a_mean").isNull, lit(0.0d)) // singleton cluster
+          .when(greatest(col("a_mean"), col("b_min")) === 0.0d, lit(0.0d))
+          .otherwise(round((col("b_min") - col("a_mean"))
+            / greatest(col("a_mean"), col("b_min")), 4)).as("sil"))
+  }
+}

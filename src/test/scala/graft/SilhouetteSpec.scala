@@ -1,0 +1,62 @@
+package graft
+
+import graft.ml.Silhouette
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** M8 — relational per-point silhouette (reference: sklearn
+  * silhouette_score / silhouette_samples, euclidean metric,
+  * modules/Silhouette.py:9-36). Hand-computable geometry fixtures pin the
+  * metric's defining cases; the cross-engine arithmetic is pinned by the
+  * q50 self-consistency oracle (DuckDB recomputes every value). */
+class SilhouetteSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def df(rows: Seq[(Long, Int, Seq[Float])]) = {
+    import spark.implicits._
+    rows.toDF("id", "cluster", "vec")
+  }
+
+  test("two tight, well-separated clusters score near 1") {
+    // cluster 0 around (0,0), cluster 1 around (100,100)
+    val d = df(Seq(
+      (1L, 0, Seq(0f, 0f)), (2L, 0, Seq(1f, 0f)), (3L, 0, Seq(0f, 1f)),
+      (4L, 1, Seq(100f, 100f)), (5L, 1, Seq(101f, 100f)), (6L, 1, Seq(100f, 101f))))
+    val s = Silhouette.samples(d, "id", "cluster", "vec")
+      .select("sil").as[Double](org.apache.spark.sql.Encoders.scalaDouble)
+      .collect()
+    assert(s.length === 6)
+    assert(s.forall(_ > 0.98), s"expected near-1 silhouettes, got ${s.toSeq}")
+  }
+
+  test("hand-computed 1-D fixture matches the sklearn definition") {
+    // cluster 0: {0, 2}; cluster 1: {10}. For point 0: a = 2,
+    // b = mean dist to cluster 1 = 10, s = (10-2)/10 = 0.8.
+    // For point 2: a = 2, b = 8, s = (8-2)/8 = 0.75.
+    // Point 10 is a singleton -> 0 by convention.
+    val d = df(Seq(
+      (1L, 0, Seq(0f)), (2L, 0, Seq(2f)), (3L, 1, Seq(10f))))
+    val m = Silhouette.samples(d, "id", "cluster", "vec")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(1L) === 0.8)
+    assert(m(2L) === 0.75)
+    assert(m(3L) === 0.0)
+  }
+
+  test("values bounded in [-1, 1] on the embeddings fixture clustering") {
+    val q = SparkEntry.queries("q50_silhouette")(spark, "/root/testdata/sf0.001")
+    val stats = q.agg(min(col("sil")), max(col("sil")), count(lit(1))).head()
+    assert(stats.getLong(2) === 500)
+    assert(stats.getDouble(0) >= -1.0 && stats.getDouble(1) <= 1.0)
+  }
+
+  test("a point assigned to the WRONG side scores negative") {
+    // point 4 sits at (1,1) — inside cluster 0's blob — but is labeled 1
+    val d = df(Seq(
+      (1L, 0, Seq(0f, 0f)), (2L, 0, Seq(1f, 0f)), (3L, 0, Seq(0f, 1f)),
+      (4L, 1, Seq(1f, 1f)), (5L, 1, Seq(100f, 100f)), (6L, 1, Seq(100f, 101f))))
+    val bad = Silhouette.samples(d, "id", "cluster", "vec")
+      .filter(col("id") === 4L).head().getDouble(2)
+    assert(bad < 0, s"misassigned point should score negative, got $bad")
+  }
+}
