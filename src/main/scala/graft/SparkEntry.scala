@@ -795,6 +795,16 @@ object SparkEntry {
       Extract.pipeline(Transcripts.fromDocuments(s, dir))
         .select(col("conv_id"), col("turn_idx"), col("text"))),
 
+    // E1 hardening UNDER THE GATE (round-3 VERDICT #7): the full kernel over
+    // the ADVERSARIAL payload shells — comment/CDATA/doctype decoys, HTML5
+    // complete comments, unquoted attributes, quoted '>', entity refs incl.
+    // a lone-surrogate ref, reverse-order layout lines, tool-JSON value
+    // decoys (Transcripts.fromDocumentsAdversarial). Every shape must still
+    // extract to exactly the document text, so the oracle is q30's.
+    "q59_extract_adversarial" -> ((s, dir) =>
+      Extract.pipeline(Transcripts.fromDocumentsAdversarial(s, dir))
+        .select(col("conv_id"), col("turn_idx"), col("text"))),
+
     // E5 — span offsets for the single-content-block shapes (0, 1, 3);
     // layout shape 2 spans are pinned by ScalaTest instead.
     "q31_spans" -> ((s, dir) => {
@@ -1577,6 +1587,11 @@ object SparkEntry {
          GROUP BY 1, 2""",
 
     "q30_extract" ->
+      s"""SELECT $OracleConvId AS conv_id, $OracleTurnIdx AS turn_idx, text
+          FROM documents""",
+
+    // per-turn text equality holds over the adversarial shells too
+    "q59_extract_adversarial" ->
       s"""SELECT $OracleConvId AS conv_id, $OracleTurnIdx AS turn_idx, text
           FROM documents""",
 

@@ -92,6 +92,87 @@ object Transcripts {
     concat(lit("%PDFISH\n"), lines)
   }
 
+  // ----------------------------------------------------------- adversarial
+
+  /** [[fromDocuments]]'s twin with ADVERSARIAL payload shells: every shape
+    * walks the lexer's hardened edge paths (round-3 fixes, previously
+    * spec-pinned only — this generator puts them under the driver's DuckDB
+    * gate via q59) while still extracting to EXACTLY the document text, so
+    * the oracle stays `SELECT … text FROM documents`:
+    *
+    *  0: doctype; comment decoys containing fake content markup; the HTML5
+    *     complete comments `<!-->` / `<!---->`; unquoted attributes; a
+    *     quoted `>` inside an attribute ON THE CONTENT DIV (observable —
+    *     a broken tag scan would leak `y">` into the extracted text)
+    *  1: CDATA decoy with fake content markup INSIDE nav (literal text in
+    *     a chrome path — a lexer that parsed CDATA contents as markup would
+    *     surface the decoy as content); numeric + astral entity refs and a
+    *     lone-surrogate ref (&#xD800;) in chrome text
+    *  2: layout lines in REVERSE y order (reading-order sort must restore
+    *     the original text) plus a coordinate-less junk line and a blank
+    *     line, both skipped
+    *  3: tool JSON with a value-position "result" decoy before the real
+    *     key, whitespace around the key's colon, and trailing decoy fields
+    */
+  def fromDocumentsAdversarial(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.select(
+      concat(lit("c"), lpad((col("doc_id") % ConvFold).cast("string"), 4, "0")).as("conv_id"),
+      (col("doc_id") / ConvFold).cast("int").as("turn_idx"),
+      expr("element_at(array('user','assistant','tool'), cast(doc_id % 3 as int) + 1)").as("role"),
+      adversarialPayload(col("doc_id"), col("text")).as("text"),
+      when(col("doc_id") % 3 === 2, lit("search")).otherwise(lit(null)).cast("string").as("tool"),
+      (lit(1704067200L) + col("doc_id")).cast("timestamp").as("ts")
+    )
+  }
+
+  // shape 0's content <p> opens with a SELF-CLOSED anchor: a lexer whose
+  // link scope leaked (round-3 finding) would count the whole text as link
+  // chars and misclassify the content block chrome — observable as an empty
+  // extraction, not just a feature wobble
+  private val Adv0Pre =
+    """<!DOCTYPE html><!-- <div class="content"><p>comment decoy</p></div> --><!-->""" +
+      """<nav><a href=# id=x>home</a> <a href=#>docs</a></nav>""" +
+      """<div class=content title="x > y"><p><a href=# />"""
+  private val Adv0Post =
+    """</p></div><!----><footer>(c) 2024 &amp; co</footer>"""
+  private val Adv1Pre =
+    """<?xml version="1.0"?><header title="a > b"><h1>Results</h1></header>""" +
+      """<nav><![CDATA[<div class="content"><p>cdata decoy</p></div>]]> """ +
+      """<a href="#">&#104;ome &#x1F600;</a></nav><div class="content"><p>"""
+  private val Adv1Post =
+    """</p></div><footer>&#65;&#66; &lt;end&gt; &#xD800;</footer>"""
+
+  /** The adversarial wrapping: shape = doc_id % 4, same key mapping as
+    * [[payload]], expected extraction = the unwrapped text for EVERY shape. */
+  def adversarialPayload(docId: org.apache.spark.sql.Column,
+                         text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val shape = docId % 4
+    when(shape === 0, concat(lit(Adv0Pre), text, lit(Adv0Post)))
+      .when(shape === 1, concat(lit(Adv1Pre), text, lit(Adv1Post)))
+      .when(shape === 2, adversarialLayout(text))
+      .otherwise(concat(
+        lit("""{"tool":"search","msg":"result","status":"ok","result" : """"),
+        text, lit("\",\"tail\":\"ok\"}")))
+  }
+
+  /** Shape 2 adversarial: same 8-token chunking as [[layoutPayload]] but the
+    * lines are EMITTED in reverse y order behind a junk line and a blank
+    * line — reading-order recovery (sort by y, x) must reconstitute the
+    * original chunk order. */
+  private def adversarialLayout(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val words = split(text, " ")
+    val lastChunk = floor((size(words) - lit(1)) / lit(8)).cast("int")
+    val lines = array_join(
+      transform(sequence(lastChunk, lit(0), lit(-1)), i =>
+        concat(lit("10 "), ((i + lit(1)) * lit(10)).cast("string"), lit(" "),
+          array_join(slice(words, i * lit(8) + lit(1), lit(8)), " "))),
+      "\n")
+    concat(lit("%PDFISH\nnot a layout line\n\n"), lines, lit("\n"))
+  }
+
   /** Arbitrary-scale synthetic corpus for bench/skew runs: `nTurns` rows,
     * `turnsPerConv` turns per conversation, optional skew (conversation 0
     * receives `skewFactor` × the normal turn count — FIXTURES.md skew tier).
