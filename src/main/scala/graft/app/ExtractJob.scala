@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
 object ExtractJob {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ExtractJob <inputPath> <tableDir> [nBuckets] [salts]")
+      "usage: ExtractJob <inputPath> <tableDir> [nBuckets] [salts] [waves]")
     val Array(in, table) = args.take(2)
     val nBuckets = if (args.length > 2) args(2).toInt else Scale.DefaultBuckets
     val salts = if (args.length > 3) args(3).toInt else 16
+    // waves > 1 = crash-resumable checkpoint granularity (Scale.resumableWrite)
+    val waves = if (args.length > 4) args(4).toInt else 1
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Scale.configure(
@@ -39,7 +41,7 @@ object ExtractJob {
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()
-    val (snap, written) = run(spark, in, table, nBuckets, salts, cpus)
+    val (snap, written) = run(spark, in, table, nBuckets, salts, cpus, waves)
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[extract-job] wrote $written%d turns in $secs%.1f s " +
       f"(${written / secs}%.0f turns/sec) to $table/$snap (published)")
@@ -49,7 +51,7 @@ object ExtractJob {
   /** Job body (main minus session lifecycle — testable): returns
     * (published snapshot, rows written). */
   def run(spark: SparkSession, in: String, table: String, nBuckets: Int,
-          salts: Int, cpus: Int): (String, Long) = {
+          salts: Int, cpus: Int, waves: Int = 1): (String, Long) = {
     // resume the newest UNPUBLISHED staging snapshot (a previous failed
     // attempt), else open a fresh one; publish flips the pointer only after
     // every bucket is present, so readers never see a partial table.
@@ -75,16 +77,34 @@ object ExtractJob {
     // Observation (not a bare .observe name): the metrics are retrieved
     // after the write action and printed — the bare-name spelling computed
     // the aggregates on every row and silently discarded them (round-3
-    // review finding)
-    val obs = org.apache.spark.sql.Observation("extract_metrics")
-    val extracted = Extract.pipeline(salted)
-      .observe(obs,
-        count(lit(1)).as("turns_out"),
-        sum(when(col("text") === "", 1).otherwise(0)).as("empty_turns"),
-        sum(length(col("text"))).as("chars_out"))
+    // review finding). Attached ONLY on the single-wave path: an Observation
+    // is single-shot, and its CollectMetrics node is a pushdown barrier —
+    // under waves>1 it would pin the kernel ABOVE the wave's bucket filter
+    // (kernel × waves) and capture wave-0's subset as the job metric. The
+    // wave path derives the same metrics from one partition-pruned
+    // aggregation over the written table instead.
+    val pipeline = Extract.pipeline(salted)
+    val obs =
+      if (waves == 1) Some(org.apache.spark.sql.Observation("extract_metrics"))
+      else None
+    val extracted = obs.fold(pipeline)(o => pipeline.observe(o,
+      count(lit(1)).as("turns_out"),
+      sum(when(col("text") === "", 1).otherwise(0)).as("empty_turns"),
+      sum(length(col("text"))).as("chars_out")))
+    // waves is NOT in the params sidecar on purpose: it changes checkpoint
+    // granularity, never bucket identity, so a retry may resume the same
+    // staging snapshot at a different wave count safely.
     val written = Scale.resumableWrite(extracted,
-      TableIO.dataDir(table, snap), s"$table/$snap/manifest", nBuckets)
-    val m = obs.get
+      TableIO.dataDir(table, snap), s"$table/$snap/manifest", nBuckets, waves)
+    val m: Map[String, Any] = obs.map(_.get).getOrElse {
+      val r = spark.read.parquet(TableIO.dataDir(table, snap))
+        .agg(count(lit(1)).as("turns_out"),
+          sum(when(col("text") === "", 1).otherwise(0)).as("empty_turns"),
+          sum(length(col("text"))).as("chars_out"))
+        .collect()(0)
+      Map("turns_out" -> r.get(0), "empty_turns" -> r.get(1),
+        "chars_out" -> r.get(2))
+    }
     System.err.println(s"[extract_metrics] turns_out=${m("turns_out")} " +
       s"empty_turns=${m("empty_turns")} chars_out=${m("chars_out")}")
     TableIO.publish(spark, table, snap)

@@ -98,32 +98,53 @@ object Scale {
     * Bookkeeping is O(1) jobs, not O(nBuckets): per-bucket row counts come
     * from ONE `groupBy(bucket).count()` pass over the written table and the
     * return total is the manifest sum — round 1 issued 65 sequential driver
-    * round-trip count jobs per 64-bucket write. */
+    * round-trip count jobs per 64-bucket write.
+    *
+    * `waves` chunks the write into that many sequential jobs (wave w writes
+    * buckets with `bucket % waves == w`), appending the manifest AFTER each
+    * wave. With waves=1 (default) the manifest only ever gains entries once
+    * the WHOLE write commits — so a run killed mid-write resumes from zero,
+    * and the advertised "skip completed partitions" lineage never actually
+    * engages on a crash. waves>1 is what makes a 10^12-turn run killable:
+    * die in wave k and the retry prunes waves 0..k−1 at the source. The
+    * cost is `waves` input scans — on the real deployment the input is an
+    * Iceberg table bucketed by conv_id, so each wave's bucket filter prunes
+    * at the source and the rescan is ~free; on a flat parquet input each
+    * wave re-reads the corpus (kernel work still runs once per row — the
+    * bucket filter sits below the projection), so keep waves modest (4–8). */
   def resumableWrite(df: DataFrame, outDir: String, manifestDir: String,
-                     nBuckets: Int = DefaultBuckets): Long = {
+                     nBuckets: Int = DefaultBuckets, waves: Int = 1): Long = {
+    require(waves >= 1 && waves <= nBuckets,
+      s"waves must be in [1, nBuckets]: $waves")
     val spark = df.sparkSession
     val done = completedBuckets(spark, manifestDir)
     val withBucket = df.withColumn("bucket", bucketCol(nBuckets))
-    val remaining =
-      if (done.isEmpty) withBucket
-      else withBucket.filter(!col("bucket").isin(done.toSeq: _*))
-    // one job: shuffle-free write, grouped into bucket dirs; stable order
-    // restored inside each file, never assumed from partition order.
-    // partitionOverwriteMode is scoped to THIS write via the per-write
-    // option, not session conf (round-2 VERDICT: the conf mutation leaked
-    // into every later write of a long-lived session).
-    remaining
-      .repartition(col("bucket"))
-      .sortWithinPartitions("conv_id", "turn_idx")
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(outDir)
-    // one distributed pass over the (partition-pruned) output records every
-    // newly-written bucket's count
-    val counts = spark.read.parquet(outDir)
-      .filter(if (done.isEmpty) lit(true) else !col("bucket").isin(done.toSeq: _*))
-      .groupBy("bucket").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toSeq
-    recordBuckets(spark, manifestDir, counts)
+    (0 until waves).foreach { w =>
+      val waveBuckets =
+        (w until nBuckets by waves).filterNot(done.contains)
+      if (waveBuckets.nonEmpty) {
+        // one job per wave: shuffle grouped into bucket dirs; stable order
+        // restored inside each file, never assumed from partition order.
+        // partitionOverwriteMode is scoped to THIS write via the per-write
+        // option, not session conf (round-2 VERDICT: the conf mutation
+        // leaked into every later write of a long-lived session).
+        val wave =
+          if (waveBuckets.size == nBuckets) withBucket // nothing to prune
+          else withBucket.filter(col("bucket").isin(waveBuckets.map(Int.box): _*))
+        wave
+          .repartition(col("bucket"))
+          .sortWithinPartitions("conv_id", "turn_idx")
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket").parquet(outDir)
+        // one distributed pass over the (partition-pruned) output records
+        // every bucket count this wave committed
+        val counts = spark.read.parquet(outDir)
+          .filter(col("bucket").isin(waveBuckets.map(Int.box): _*))
+          .groupBy("bucket").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+        recordBuckets(spark, manifestDir, counts)
+      }
+    }
     // total rows now present = manifest sum (metadata-sized read)
     spark.read.parquet(manifestDir)
       .agg(sum(col("rows"))).collect()(0).getLong(0)

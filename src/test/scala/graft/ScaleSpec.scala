@@ -44,6 +44,45 @@ class ScaleSpec extends AnyFunSuite {
     assert(Scale.completedBuckets(spark, man2) === (0 until 8).toSet)
   }
 
+  test("wave-chunked write: same table as one-shot, done waves not rewritten") {
+    val tmp = Files.createTempDirectory("graft_waves").toString
+    val oneShot = s"$tmp/one"; val manOne = s"$tmp/man_one"
+    val waved = s"$tmp/waved"; val manWaved = s"$tmp/man_waved"
+    val turns = Transcripts.synthetic(spark, 500, 10).drop("doc_text")
+    val result = Extract.pipeline(turns)
+
+    val n1 = Scale.resumableWrite(result, oneShot, manOne, nBuckets = 8)
+
+    // simulate a run killed after wave 0 of 4 (buckets {0,4} committed +
+    // manifested, wave 1 died mid-write): only wave-0 buckets exist
+    val withBucket = result.withColumn("bucket", Scale.bucketCol(8))
+    withBucket.filter(col("bucket").isin(0, 4))
+      .write.mode("overwrite").partitionBy("bucket").parquet(waved)
+    Seq(0, 4).foreach { b =>
+      val n = spark.read.parquet(s"$waved/bucket=$b").count()
+      Scale.recordBucket(spark, manWaved, b, n)
+    }
+    val mtimes0 = Seq(0, 4).map { b =>
+      val d = new java.io.File(s"$waved/bucket=$b")
+      b -> d.listFiles().map(f => f.getName -> f.lastModified).toMap
+    }.toMap
+
+    // resume with waves=4: waves 0 fully pruned, 1–3 written + manifested
+    val n2 = Scale.resumableWrite(result, waved, manWaved, nBuckets = 8, waves = 4)
+    assert(n1 === n2)
+    val a = spark.read.parquet(oneShot).select("conv_id", "turn_idx", "text")
+    val b = spark.read.parquet(waved).select("conv_id", "turn_idx", "text")
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+    assert(Scale.completedBuckets(spark, manWaved) === (0 until 8).toSet)
+    // the crashed run's committed buckets were skipped, not rewritten
+    Seq(0, 4).foreach { bkt =>
+      val now = new java.io.File(s"$waved/bucket=$bkt")
+        .listFiles().map(f => f.getName -> f.lastModified).toMap
+      assert(now === mtimes0(bkt), s"bucket $bkt was rewritten on resume")
+    }
+  }
+
   test("salted repartition spreads a skewed conversation across partitions") {
     val skewed = Transcripts.synthetic(spark, 2000, 10, skewFactor = 100)
       .drop("doc_text")
