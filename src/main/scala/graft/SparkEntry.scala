@@ -570,15 +570,26 @@ object SparkEntry {
       .select(col("n_nationkey"),
         round(col("ll.lat"), 6).as("lat"), round(col("ll.lon"), 6).as("lon"))),
 
-    // M3 — MLlib KMeans tier over embeddings (seeded; rows-only — clustering
-    // quality is pinned by KMeansSpec determinism/coverage assertions).
-    // maxIter 5: each iteration is one full pass + broadcast centroids, and
-    // 5 holds the KMeansSpec invariants (round-2 VERDICT weak-lite: 10
-    // iterations where ~5 may do).
+    // M3 — MLlib KMeans tier over embeddings (seeded; maxIter 5: each
+    // iteration is one full pass + broadcast centroids, and 5 holds the
+    // KMeansSpec invariants — round-2 VERDICT weak-lite). The iterative fit
+    // itself is not replayable, so the oracle is a SELF-CONSISTENCY check
+    // (the q50 pattern): alongside each assignment the query exports the
+    // point's euclidean distance to the EMPIRICAL centroid (the mean of its
+    // cluster's members), computed relationally — posexplode → group mean →
+    // join → distance algebra — and the oracle recomputes every value from
+    // the exported assignments + the embeddings table in SQL.
     "q40_kmeans" -> ((s, dir) => {
       val (model, emb) = kmeansFitted(s, dir)
-      model.transform(emb).select(col("vec_id"), col("label"),
-        col("prediction").as("cluster"))
+      val asg = model.transform(emb).select(col("vec_id"), col("label"),
+        col("prediction").as("cluster"), col("embedding"))
+      val pts = asg.select(col("vec_id"), col("cluster"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      val cent = pts.groupBy("cluster", "dim").agg(avg("v").as("c"))
+      val dist = pts.join(cent, Seq("cluster", "dim"))
+        .groupBy("vec_id")
+        .agg(round(sqrt(sum(pow(col("v") - col("c"), lit(2)))), 6).as("dist2c"))
+      asg.drop("embedding").join(dist, "vec_id")
     }),
 
     // M2 — LSA: tfidf → truncated SVD(k=5) → L2 normalize (reference Entry 3
@@ -1544,6 +1555,24 @@ object SparkEntry {
     // recomputed in SQL and must match the engine bit-for-bit after the
     // stated rounding.
 
+    // M3 — distance-to-empirical-centroid replayed from the exported
+    // assignments: per-cluster per-dim means, then euclidean distance (6dp).
+    // The fit is taken as given; the group-mean + distance algebra is
+    // cross-engine-verified.
+    "q40_kmeans" ->
+      """WITH asg AS (SELECT vec_id, label, cluster
+                      FROM read_parquet('__VERIFY_OUT__/q40_kmeans/*.parquet')),
+         pts AS (SELECT a.vec_id, a.cluster, d.d AS dim,
+                   e.embedding[d.d]::DOUBLE AS v
+                 FROM asg a JOIN embeddings e USING (vec_id),
+                      generate_series(1, 64) d(d)),
+         cent AS (SELECT cluster, dim, avg(v) AS c FROM pts GROUP BY 1, 2),
+         dist AS (SELECT vec_id,
+                    round(sqrt(sum((v - c) * (v - c))), 6) AS dist2c
+                  FROM pts JOIN cent USING (cluster, dim) GROUP BY 1)
+         SELECT a.vec_id, a.label, a.cluster, d.dist2c
+         FROM asg a JOIN dist d USING (vec_id)""",
+
     // M8 — silhouette arithmetic replayed from the exported assignments:
     // pairwise euclidean distances (6dp) via the same dot-product algebra
     // the native cosine kernel uses, mean-to-own / min-mean-to-other, then
@@ -1572,7 +1601,7 @@ object SparkEntry {
                 WHEN greatest(own.a_mean, oth.b_min) = 0 THEN 0.0
                 ELSE round((oth.b_min - own.a_mean)
                        / greatest(own.a_mean, oth.b_min), 4)
-           END AS sil
+           END + 0.0 AS sil  -- fold -0.0 to +0.0 (engine does the same)
          FROM v LEFT JOIN own ON v.vec_id = own.ka
                 LEFT JOIN oth ON v.vec_id = oth.ka""",
 
@@ -1582,7 +1611,7 @@ object SparkEntry {
       """WITH dt AS (SELECT doc_id, topic, weight
                      FROM read_parquet('__VERIFY_OUT__/q52_lda/*.parquet'))
          SELECT a.topic AS t1, b.topic AS t2,
-           round(corr(a.weight, b.weight), 6) AS corr
+           round(corr(a.weight, b.weight), 6) + 0.0 AS corr  -- fold -0.0
          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.topic < b.topic
          GROUP BY 1, 2""",
 

@@ -114,7 +114,10 @@ object Lda {
       col("weight").as("w2"))
     a.join(b, Seq("d")).filter(col("t1") < col("t2"))
       .groupBy(col("t1"), col("t2"))
-      .agg(round(corr(col("w1"), col("w2")), 6).as("corr"))
+      // + 0.0 folds IEEE -0.0 to +0.0: a correlation rounding to zero from
+      // below otherwise renders "-0.0" here and "0.0" in the DuckDB oracle
+      // (or vice versa) and flips the driver's hash compare
+      .agg((round(corr(col("w1"), col("w2")), 6) + lit(0.0d)).as("corr"))
   }
 
   /** M18 — held-out log-perplexity (reference `log_perplexity`,

@@ -58,9 +58,13 @@ object Silhouette {
       .join(own, col("k") === own("ka"), "left_outer").drop("ka")
       .join(oth, col("k") === oth("ka"), "left_outer").drop("ka")
       .select(col("k").as(key), col("c").as(cluster),
-        when(col("a_mean").isNull, lit(0.0d)) // singleton cluster
+        // + 0.0 folds IEEE -0.0 to +0.0: a score that rounds to zero from
+        // below otherwise renders "-0.0" in one engine and "0.0" in the
+        // other and flips the driver's hash compare (the oracle adds the
+        // same normalization)
+        (when(col("a_mean").isNull, lit(0.0d)) // singleton cluster
           .when(greatest(col("a_mean"), col("b_min")) === 0.0d, lit(0.0d))
           .otherwise(round((col("b_min") - col("a_mean"))
-            / greatest(col("a_mean"), col("b_min")), 4)).as("sil"))
+            / greatest(col("a_mean"), col("b_min")), 4)) + lit(0.0d)).as("sil"))
   }
 }
