@@ -689,10 +689,11 @@ object SparkEntry {
 
     // M4/M5/M6 — LDA topic modeling over the engine BOW (reference:
     // gensim LdaMulticore, src/doc_classification.py:39-72): the full
-    // doc-topic matrix with the dominant flag. Rows-only driver check
-    // (iterative variational fit — not engine-portable); topic separation
-    // pinned by LdaSpec. The exported weights are the replay input for
-    // q56's correlation self-consistency oracle.
+    // doc-topic matrix with the dominant flag. The variational fit isn't
+    // engine-portable, but the dominant flag IS derivable from the exported
+    // weights — the oracle recomputes it per doc (self-consistency); topic
+    // separation pinned by LdaSpec. The exported weights are also the
+    // replay input for q56's correlation oracle.
     "q52_lda" -> ((s, dir) => {
       val (model, features) = ldaFitted(s, dir)
       graft.ml.Lda.docTopicMatrix(model, features, "doc_id")
@@ -1554,6 +1555,21 @@ object SparkEntry {
     // is taken as given from the export; everything derived from it is
     // recomputed in SQL and must match the engine bit-for-bit after the
     // stated rounding.
+
+    // M4/M5/M6 — the dominant flag replayed from the exported doc-topic
+    // weights: per-doc max, first topic attaining it (the engine decides
+    // dominance on the same 6dp-rounded weights it exports, ties to the
+    // lowest topic id). The variational fit is taken as given; the argmax
+    // arithmetic is cross-engine-verified.
+    "q52_lda" ->
+      """WITH dt AS (SELECT doc_id, topic, weight
+                     FROM read_parquet('__VERIFY_OUT__/q52_lda/*.parquet')),
+         mx AS (SELECT doc_id, max(weight) AS m FROM dt GROUP BY 1),
+         fm AS (SELECT d.doc_id, min(d.topic) AS t0
+                FROM dt d JOIN mx USING (doc_id)
+                WHERE d.weight = mx.m GROUP BY 1)
+         SELECT d.doc_id, d.topic, d.weight, (d.topic = f.t0) AS dominant
+         FROM dt d JOIN fm f USING (doc_id)""",
 
     // M3 — distance-to-empirical-centroid replayed from the exported
     // assignments: per-cluster per-dim means, then euclidean distance (6dp).

@@ -64,11 +64,17 @@ object Lda {
   def docTopicMatrix(model: LDAModel, features: DataFrame,
                      docKey: String): DataFrame =
     model.transform(features)
-      .withColumn("dist", vector_to_array(col("topicDistribution")))
+      // dominance is decided on the SAME 6dp-rounded weights the matrix
+      // exports (ties, incl. rounding-induced ones, break to the lowest
+      // topic id — array_position returns the first match), so the flag is
+      // exactly derivable from the exported rows: the driver's DuckDB
+      // oracle recomputes it per doc via max + first-argmax in SQL.
+      .withColumn("dist",
+        transform(vector_to_array(col("topicDistribution")), w => round(w, 6)))
       .select(col(docKey), col("dist"),
-        posexplode(col("dist")).as(Seq("topic", "w")))
+        posexplode(col("dist")).as(Seq("topic", "weight")))
       .select(col(docKey), col("topic").cast("int").as("topic"),
-        round(col("w"), 6).as("weight"),
+        col("weight"),
         (col("topic") ===
           (array_position(col("dist"), array_max(col("dist"))) - 1))
           .as("dominant"))
