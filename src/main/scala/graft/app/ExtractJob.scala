@@ -77,15 +77,21 @@ object ExtractJob {
     // Observation (not a bare .observe name): the metrics are retrieved
     // after the write action and printed — the bare-name spelling computed
     // the aggregates on every row and silently discarded them (round-3
-    // review finding). Attached ONLY on the single-wave path: an Observation
-    // is single-shot, and its CollectMetrics node is a pushdown barrier —
-    // under waves>1 it would pin the kernel ABOVE the wave's bucket filter
-    // (kernel × waves) and capture wave-0's subset as the job metric. The
-    // wave path derives the same metrics from one partition-pruned
-    // aggregation over the written table instead.
+    // review finding). Attached ONLY on a FRESH single-wave run:
+    //  - an Observation is single-shot, and its CollectMetrics node is a
+    //    pushdown barrier — under waves>1 it would pin the kernel ABOVE the
+    //    wave's bucket filter (kernel × waves) and capture wave-0's subset
+    //    as the job metric;
+    //  - on a RESUMED snapshot the observed plan either never executes
+    //    (all buckets already manifested → resumableWrite runs no write
+    //    job, and obs.get would block forever) or sees only the re-written
+    //    subset (round-4 review finding).
+    // Both fall back to one aggregation over the written table.
+    val resumed = Scale.completedBuckets(spark, s"$table/$snap/manifest").nonEmpty
     val pipeline = Extract.pipeline(salted)
     val obs =
-      if (waves == 1) Some(org.apache.spark.sql.Observation("extract_metrics"))
+      if (waves == 1 && !resumed)
+        Some(org.apache.spark.sql.Observation("extract_metrics"))
       else None
     val extracted = obs.fold(pipeline)(o => pipeline.observe(o,
       count(lit(1)).as("turns_out"),
@@ -97,13 +103,18 @@ object ExtractJob {
     val written = Scale.resumableWrite(extracted,
       TableIO.dataDir(table, snap), s"$table/$snap/manifest", nBuckets, waves)
     val m: Map[String, Any] = obs.map(_.get).getOrElse {
-      val r = spark.read.parquet(TableIO.dataDir(table, snap))
-        .agg(count(lit(1)).as("turns_out"),
-          sum(when(col("text") === "", 1).otherwise(0)).as("empty_turns"),
-          sum(length(col("text"))).as("chars_out"))
-        .collect()(0)
-      Map("turns_out" -> r.get(0), "empty_turns" -> r.get(1),
-        "chars_out" -> r.get(2))
+      val dataDir = TableIO.dataDir(table, snap)
+      if (!Scale.hasBucketData(spark, dataDir)) // zero-row corpus: no dirs
+        Map("turns_out" -> 0L, "empty_turns" -> 0L, "chars_out" -> 0L)
+      else {
+        val r = spark.read.parquet(dataDir)
+          .agg(count(lit(1)).as("turns_out"),
+            sum(when(col("text") === "", 1).otherwise(0)).as("empty_turns"),
+            sum(length(col("text"))).as("chars_out"))
+          .collect()(0)
+        Map("turns_out" -> r.get(0), "empty_turns" -> r.get(1),
+          "chars_out" -> r.get(2))
+      }
     }
     System.err.println(s"[extract_metrics] turns_out=${m("turns_out")} " +
       s"empty_turns=${m("empty_turns")} chars_out=${m("chars_out")}")

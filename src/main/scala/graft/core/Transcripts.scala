@@ -42,13 +42,21 @@ object Transcripts {
   /** Build the transcripts table from `documents.parquet` in `dir`.
     * Columns: (conv_id string, turn_idx int, role string, text string,
     * tool string, ts timestamp) — BASELINE.json:input_hint shape. */
-  def fromDocuments(spark: SparkSession, dir: String): DataFrame = {
+  def fromDocuments(spark: SparkSession, dir: String): DataFrame =
+    fromDocs(spark, dir, payload)
+
+  /** The shared document→turn mapping; `wrap` supplies the payload shell
+    * ([[payload]] or [[adversarialPayload]]) so the two generators cannot
+    * diverge on conv_id folding / role / tool / ts. */
+  private def fromDocs(spark: SparkSession, dir: String,
+                       wrap: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+                         => org.apache.spark.sql.Column): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     docs.select(
       concat(lit("c"), lpad((col("doc_id") % ConvFold).cast("string"), 4, "0")).as("conv_id"),
       (col("doc_id") / ConvFold).cast("int").as("turn_idx"),
       expr("element_at(array('user','assistant','tool'), cast(doc_id % 3 as int) + 1)").as("role"),
-      payload(col("doc_id"), col("text")).as("text"),
+      wrap(col("doc_id"), col("text")).as("text"),
       when(col("doc_id") % 3 === 2, lit("search")).otherwise(lit(null)).cast("string").as("tool"),
       (lit(1704067200L) + col("doc_id")).cast("timestamp").as("ts")
     )
@@ -114,17 +122,8 @@ object Transcripts {
     *  3: tool JSON with a value-position "result" decoy before the real
     *     key, whitespace around the key's colon, and trailing decoy fields
     */
-  def fromDocumentsAdversarial(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    docs.select(
-      concat(lit("c"), lpad((col("doc_id") % ConvFold).cast("string"), 4, "0")).as("conv_id"),
-      (col("doc_id") / ConvFold).cast("int").as("turn_idx"),
-      expr("element_at(array('user','assistant','tool'), cast(doc_id % 3 as int) + 1)").as("role"),
-      adversarialPayload(col("doc_id"), col("text")).as("text"),
-      when(col("doc_id") % 3 === 2, lit("search")).otherwise(lit(null)).cast("string").as("tool"),
-      (lit(1704067200L) + col("doc_id")).cast("timestamp").as("ts")
-    )
-  }
+  def fromDocumentsAdversarial(spark: SparkSession, dir: String): DataFrame =
+    fromDocs(spark, dir, adversarialPayload)
 
   // shape 0's content <p> opens with a SELF-CLOSED anchor: a lexer whose
   // link scope leaked (round-3 finding) would count the whole text as link

@@ -68,6 +68,17 @@ object Scale {
     }
   }
 
+  /** True iff `path` holds at least one committed `bucket=` partition dir —
+    * the readability probe for bucket-partitioned output. (`hasDataFiles`
+    * checks top-level FILES and is blind to partition dirs; reading a dir
+    * with no committed partitions throws schema-inference errors.) */
+  def hasBucketData(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = fsFor(spark, path)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      st.isDirectory && st.getPath.getName.startsWith("bucket=")
+    }
+  }
+
   def completedBuckets(spark: SparkSession, manifestDir: String): Set[Int] = {
     if (!hasDataFiles(spark, manifestDir)) Set.empty
     else spark.read.parquet(manifestDir)
@@ -137,12 +148,19 @@ object Scale {
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("bucket").parquet(outDir)
         // one distributed pass over the (partition-pruned) output records
-        // every bucket count this wave committed
-        val counts = spark.read.parquet(outDir)
-          .filter(col("bucket").isin(waveBuckets.map(Int.box): _*))
-          .groupBy("bucket").count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toSeq
-        recordBuckets(spark, manifestDir, counts)
+        // every bucket count this wave committed. Two empty-bucket guards
+        // (round-4 review findings): a wave whose buckets are ALL empty
+        // commits no partition dir, and reading the then-fileless outDir
+        // throws a schema-inference error; and a bucket with zero rows must
+        // still be manifested (rows=0) or every resume rescans it forever.
+        val counts =
+          if (!hasBucketData(spark, outDir)) Map.empty[Int, Long]
+          else spark.read.parquet(outDir)
+            .filter(col("bucket").isin(waveBuckets.map(Int.box): _*))
+            .groupBy("bucket").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        recordBuckets(spark, manifestDir,
+          waveBuckets.map(b => b -> counts.getOrElse(b, 0L)))
       }
     }
     // total rows now present = manifest sum (metadata-sized read)

@@ -46,13 +46,20 @@ object Sessionize {
           val sorted = it.toArray.sortBy(e => (e.us, e.event_id))
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
           val out = sorted.map { e =>
-            // lastUs <= MinValue+1 covers BOTH sentinels — no-events-seen
-            // (MinValue) and last-event-had-null-ts (MinValue+1). The null-ts
-            // sentinel must short-circuit like the batch twin (q35: prev_us
-            // NULL ⇒ new session) — computing e.us - (MinValue+1) for a real
-            // event overflows and silently glued the next event onto the
-            // sentinel's session (round-3 ADVICE).
-            val newSess = st.lastUs <= Long.MinValue + 1 || e.us - st.lastUs > gapUs
+            // Sentinels short-circuit BEFORE any subtraction — the batch twin
+            // (q35) gives every null-ts row prev_us NULL ⇒ new session, and
+            // the first real event after one sees a NULL lag ⇒ new session:
+            //  - e.us == MinValue+1: THIS event has null ts → always a new
+            //    session (previously this relied on signed-overflow wrap for
+            //    lastUs > 0 and silently glued onto the prior session for
+            //    lastUs <= 0 — round-4 review finding);
+            //  - st.lastUs <= MinValue+1: no-events-seen (MinValue) or the
+            //    LAST event had null ts (MinValue+1) → new session
+            //    (round-3 ADVICE overflow fix).
+            // Past the guards both operands are real microsecond timestamps,
+            // so the subtraction cannot overflow.
+            val newSess = e.us == Long.MinValue + 1 ||
+              st.lastUs <= Long.MinValue + 1 || e.us - st.lastUs > gapUs
             st = SessionState(e.us, if (newSess) st.idx + 1 else st.idx)
             SessionAssign(e.event_id, e.user_id, st.idx)
           }

@@ -39,6 +39,31 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(TableIO.readTable(spark, s"$tmp/table", Some(snap1)).count() === 300)
   }
 
+  test("resume of a fully-written unpublished snapshot completes and publishes") {
+    // crash window: the write + manifest finished but the job died before
+    // TableIO.publish. The retry resumes the staging snapshot with ZERO
+    // remaining buckets, so no write job ever runs — an Observation
+    // attached to the pipeline would block forever on .get (round-4 review
+    // finding); the job must fall back to post-hoc metrics and publish.
+    val tmp = Files.createTempDirectory("graft_job_resume_full").toString
+    Transcripts.synthetic(spark, 200, 10).drop("doc_text")
+      .write.parquet(s"$tmp/in")
+    TableIO.writeSidecar(spark, s"$tmp/table", "snap-00001", "params",
+      "nBuckets=8\nsalts=4")
+    graft.scale.Scale.resumableWrite(
+      Extract.pipeline(spark.read.parquet(s"$tmp/in")),
+      TableIO.dataDir(s"$tmp/table", "snap-00001"),
+      s"$tmp/table/snap-00001/manifest", nBuckets = 8)
+    assert(TableIO.currentSnapshot(spark, s"$tmp/table") === None)
+
+    val (snap, n) = ExtractJob.run(spark, s"$tmp/in", s"$tmp/table",
+      nBuckets = 8, salts = 4, cpus = 4)
+    assert(snap === "snap-00001")
+    assert(n === 200)
+    assert(TableIO.currentSnapshot(spark, s"$tmp/table") === Some("snap-00001"))
+    assert(TableIO.readTable(spark, s"$tmp/table").count() === 200)
+  }
+
   test("resume with different bucketing starts fresh, never mixes manifests") {
     val tmp = Files.createTempDirectory("graft_job_params").toString
     Transcripts.synthetic(spark, 200, 10).drop("doc_text")

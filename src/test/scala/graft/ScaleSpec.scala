@@ -83,6 +83,24 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("a wave of only-empty buckets neither crashes nor blocks resume") {
+    val tmp = Files.createTempDirectory("graft_empty_wave").toString
+    val turns = Transcripts.synthetic(spark, 300, 10).drop("doc_text")
+    // keep only rows landing in ODD buckets of 8, so wave 0 of waves=2
+    // (the even buckets) is entirely empty: the wave's write commits no
+    // partition dir and the count-read of the then-fileless outDir used to
+    // throw a schema-inference error; empty buckets must still land in the
+    // manifest (rows=0) or every resume rescans them (round-4 review
+    // findings)
+    val result = Extract.pipeline(turns)
+    val odd = result.withColumn("bucket", Scale.bucketCol(8))
+      .filter(pmod(col("bucket"), lit(2)) === 1).drop("bucket")
+    val n = Scale.resumableWrite(odd, s"$tmp/out", s"$tmp/man",
+      nBuckets = 8, waves = 2)
+    assert(n === odd.count())
+    assert(Scale.completedBuckets(spark, s"$tmp/man") === (0 until 8).toSet)
+  }
+
   test("salted repartition spreads a skewed conversation across partitions") {
     val skewed = Transcripts.synthetic(spark, 2000, 10, skewFactor = 100)
       .drop("doc_text")

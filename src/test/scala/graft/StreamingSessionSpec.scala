@@ -74,4 +74,35 @@ class StreamingSessionSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
   }
+
+  test("null-ts event arriving after a real event opens its own session") {
+    // Cross-batch arrival is the one order the batch twin cannot model
+    // (nulls sort first globally), so this pins the streaming rule
+    // directly: a null-ts event ALWAYS opens a new session, even when the
+    // previous real event's timestamp is at/before epoch (us <= 0) — the
+    // case where the old sentinel subtraction silently glued it onto the
+    // prior session instead of overflowing into a new one (round-4 review
+    // finding).
+    val tmp = Files.createTempDirectory("graft_sess_null").toString
+    val rows = Seq(
+      (0L, 0L, new Timestamp(0L)), // epoch: us = 0, the lastUs <= 0 case
+      (1L, 0L, null.asInstanceOf[Timestamp]),
+      (2L, 0L, new Timestamp(1704067200000L)))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      Seq(r).toDF("event_id", "user_id", "ts")
+        .coalesce(1).write.parquet(s"$tmp/in/c$i")
+    }
+    val stream = spark.readStream
+      .schema("event_id LONG, user_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/in/*")
+    val q = Sessionize.assign(stream).toDF()
+      .writeStream.format("memory").queryName("sess_null_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("sess_null_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(0L -> 1L, 1L -> 2L, 2L -> 3L),
+      s"null-ts event glued onto the previous session: $out")
+  }
 }
