@@ -171,6 +171,25 @@ object SparkEntry {
         .setFeaturesCol("features").fit(emb), emb)
     })
 
+  /** ONE seeded Word2Vec fit per (session, sf) shared by q60 (the word
+    * vectors) and q61 (document vectors by occurrence averaging) — q61's
+    * oracle replays the averaging from q60's export, so both MUST read the
+    * same model. */
+  private val sharedDoc2vec = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (org.apache.spark.ml.feature.Word2VecModel, DataFrame)]()
+
+  private def doc2vecFitted(s: SparkSession, dir: String)
+      : (org.apache.spark.ml.feature.Word2VecModel, DataFrame) =
+    sharedDoc2vec.computeIfAbsent((s, dir), _ => {
+      // one partition in doc_id order: the fit must be deterministic for
+      // Doc2VecSpec and run-to-run stability (Doc2Vec scaladoc)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+        .orderBy("doc_id").coalesce(1)
+      (graft.ml.Doc2Vec.fit(docs, "tokens"), docs)
+    })
+
   /** Unpersist the shared vocab-tier materialization for `s` — long-lived
     * sessions would otherwise leak the cache entry (round-2 VERDICT
     * hygiene). Verify/Bench call this once their query sweep is done. */
@@ -199,6 +218,11 @@ object SparkEntry {
     while (vit.hasNext) {
       val e = vit.next()
       if (e.getKey._1 eq s) vit.remove()
+    }
+    val dit = sharedDoc2vec.entrySet().iterator()
+    while (dit.hasNext) {
+      val e = dit.next()
+      if (e.getKey._1 eq s) dit.remove()
     }
   }
 
@@ -817,6 +841,40 @@ object SparkEntry {
       Extract.pipeline(Transcripts.fromDocumentsAdversarial(s, dir))
         .select(col("conv_id"), col("turn_idx"), col("text"))),
 
+    // S8 + S11 — CSV sink AND source in one gate: the q41 data product is
+    // written through the CSV sink (header, explicit quoting defaults) and
+    // read back through the CSV source with an EXPLICIT schema (inference
+    // would lose long-vs-int and the 2dp money doubles). The round-trip is
+    // lossless — the oracle is q41's own SQL — because shortest-repr double
+    // printing parses back to the identical double. The reference's analog
+    // reads `wells_aggregated.csv` into its map dashboards
+    // (src/bokeh_wells_map.ipynb cell 1).
+    "q62_csv_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_q62_csv_${math.abs(dir.hashCode)}"
+      queries("q41_data_product")(s, dir)
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(
+          "n_name STRING, n_f BIGINT, n_o BIGINT, n_p BIGINT, total DOUBLE")
+        .option("header", "true").csv(out)
+    }),
+
+    // M16 — doc2vec, Spark-first (ml.Doc2Vec): the learned word vectors,
+    // exported at full double precision as q61's replay input. Rows-only
+    // (the skip-gram SGD fit is iterative); geometry pinned by Doc2VecSpec.
+    "q60_word_vectors" -> ((s, dir) => {
+      val (model, _) = doc2vecFitted(s, dir)
+      graft.ml.Doc2Vec.wordVectors(model)
+    }),
+
+    // M16 — document vectors by token-occurrence averaging
+    // (Word2VecModel.transform semantics: sum of in-vocab token vectors /
+    // TOTAL token count). The fit is taken as given via q60's export; the
+    // tokenize + join + average arithmetic is replayed by the oracle.
+    "q61_doc2vec" -> ((s, dir) => {
+      val (model, docs) = doc2vecFitted(s, dir)
+      graft.ml.Doc2Vec.docVectors(model, docs, "doc_id")
+    }),
+
     // E5 — span offsets for the single-content-block shapes (0, 1, 3);
     // layout shape 2 spans are pinned by ScalaTest instead.
     "q31_spans" -> ((s, dir) => {
@@ -1285,6 +1343,18 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY 1""",
 
+    // S8+S11 — the CSV round-trip must reproduce the data product exactly
+    "q62_csv_roundtrip" ->
+      """SELECT n_name,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           round(sum(o_totalprice), 2) AS total
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1""",
+
     // ---- multimodal: DuckDB replays the synthetic generator (pure id
     // arithmetic — Multimodal.synthetic: len = 64 + id%64, byte_i =
     // (id*31 + i*7) % 251, bucket = byte >> 5; kind = id%3).
@@ -1555,6 +1625,21 @@ object SparkEntry {
     // is taken as given from the export; everything derived from it is
     // recomputed in SQL and must match the engine bit-for-bit after the
     // stated rounding.
+
+    // M16 — document vectors replayed from q60's exported word vectors:
+    // whitespace tokenize (occurrences kept), join to the vocab (inner join
+    // drops OOV — they contribute zero to the sum), divide by the TOTAL
+    // token count (Word2VecModel.transform's denominator, probed
+    // empirically). + 0.0 folds -0.0 (engine does the same).
+    "q61_doc2vec" ->
+      """WITH wv AS (SELECT token, dim, w
+                     FROM read_parquet('__VERIFY_OUT__/q60_word_vectors/*.parquet')),
+         tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n,
+                   unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+         sums AS (SELECT t.doc_id, v.dim, sum(v.w) AS sw, any_value(t.n) AS n
+                  FROM tok t JOIN wv v USING (token) GROUP BY 1, 2)
+         SELECT doc_id, dim, round(sw / n, 6) + 0.0 AS v FROM sums""",
 
     // M4/M5/M6 — the dominant flag replayed from the exported doc-topic
     // weights: per-doc max, first topic attaining it (the engine decides

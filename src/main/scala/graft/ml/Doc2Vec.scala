@@ -1,0 +1,58 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.{Word2Vec, Word2VecModel}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** M16 — doc2vec, re-expressed Spark-first (reference:
+  * `src/gensim_doc2vec.py:1-13` — `LabeledSentence` iterator wrappers for
+  * gensim Doc2Vec; exploratory tier, never wired into a trained model in the
+  * repo). The Spark-native equivalent: MLlib Word2Vec (skip-gram, seeded)
+  * over the whitespace token stream, with document vectors by
+  * token-occurrence averaging — which is exactly `Word2VecModel.transform`'s
+  * semantics: the SUM of in-vocab token vectors divided by the TOTAL token
+  * count, out-of-vocabulary tokens contributing zero (probed empirically and
+  * replayed bit-for-bit by the q61 DuckDB oracle from q60's exported word
+  * vectors).
+  *
+  * Scale posture: training is the bottleneck (driver-side vocab, broadcast
+  * model, `numPartitions` trades determinism for throughput) — at corpus
+  * scale fit on a deterministic sample and `transform` the full corpus,
+  * which is embarrassingly parallel (one broadcast of the word map, no
+  * shuffle). The fixture fit uses numPartitions=1 + a fixed seed so the
+  * model is run-to-run deterministic (Doc2VecSpec).
+  */
+object Doc2Vec {
+
+  /** Fit the word model on (docKey, tokens). Input is ordered by `docKey`
+    * into one partition first: multi-partition Hogwild updates are
+    * nondeterministic even under a fixed seed. */
+  def fit(docs: DataFrame, tokensCol: String, dim: Int = 8,
+          seed: Long = 7L): Word2VecModel =
+    new Word2Vec().setInputCol(tokensCol).setOutputCol("docvec")
+      .setVectorSize(dim).setSeed(seed).setMinCount(5)
+      .setNumPartitions(1).setMaxIter(1)
+      .fit(docs)
+
+  /** The learned word vectors, long-form: (token, dim, w) — w exported at
+    * full double precision so q61's oracle can replay the averaging without
+    * rounding-boundary noise. */
+  def wordVectors(model: Word2VecModel): DataFrame =
+    model.getVectors
+      .select(col("word").as("token"),
+        posexplode(vector_to_array(col("vector"))).as(Seq("dim", "w")))
+
+  /** Document vectors, long-form: (docKey, dim, round(v, 6)). + 0.0 folds
+    * IEEE -0.0 to +0.0 — averaged components sit near zero, and a value
+    * rounding to zero from below otherwise renders "-0.0" in one engine and
+    * "0.0" in the other, flipping the driver's hash compare (the q61 oracle
+    * adds the same normalization). */
+  def docVectors(model: Word2VecModel, docs: DataFrame,
+                 docKey: String): DataFrame =
+    model.transform(docs)
+      .select(col(docKey), posexplode(vector_to_array(col("docvec")))
+        .as(Seq("dim", "v")))
+      .select(col(docKey), col("dim"),
+        (round(col("v"), 6) + lit(0.0d)).as("v"))
+}

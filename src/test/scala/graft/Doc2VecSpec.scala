@@ -1,0 +1,67 @@
+package graft
+
+import graft.ml.Doc2Vec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** M16 — the Spark-first doc2vec tier (reference: src/gensim_doc2vec.py).
+  * Pins: seeded determinism, the transform's averaging semantics (the q61
+  * oracle's replay contract), and that shared-token docs embed closer than
+  * disjoint-token docs. */
+class Doc2VecSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // two disjoint 6-word sublanguages, 10 docs each, plus one mixed doc
+  private def corpus = {
+    val a = Seq("red", "green", "blue", "cyan", "pink", "teal")
+    val b = Seq("sort", "join", "scan", "hash", "merge", "index")
+    val docs = (0 until 10).map(i => (i.toLong, Seq.tabulate(24)(j => a((i + j) % 6)))) ++
+      (10 until 20).map(i => (i.toLong, Seq.tabulate(24)(j => b((i + j) % 6)))) :+
+      (20L, a.take(3) ++ b.take(3))
+    docs.toDF("doc_id", "tokens").orderBy("doc_id").coalesce(1)
+  }
+
+  test("seeded fit is deterministic and covers the full vocabulary") {
+    val m1 = Doc2Vec.fit(corpus, "tokens", dim = 8, seed = 7L)
+    val m2 = Doc2Vec.fit(corpus, "tokens", dim = 8, seed = 7L)
+    val v1 = Doc2Vec.wordVectors(m1)
+    val v2 = Doc2Vec.wordVectors(m2)
+    assert(v1.exceptAll(v2).count() === 0, "same seed, different vectors")
+    assert(v1.select("token").distinct().count() === 12)
+  }
+
+  test("doc vector = sum of in-vocab token vectors / TOTAL token count") {
+    // q61's oracle replays exactly this arithmetic — pin it natively too,
+    // including the OOV-in-denominator rule ("zz" appears once < minCount)
+    val withOov = corpus.union(
+      Seq((21L, Seq("red", "green", "zz"))).toDF("doc_id", "tokens"))
+    val m = Doc2Vec.fit(withOov, "tokens", dim = 8, seed = 7L)
+    val wv = m.getVectors.collect().map(r =>
+      r.getString(0) -> r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray)
+      .toMap
+    assert(!wv.contains("zz"), "below-minCount token entered the vocab")
+    val got = Doc2Vec.docVectors(m, withOov, "doc_id")
+      .filter(col("doc_id") === 21L).orderBy("dim")
+      .collect().map(_.getDouble(2))
+    val expected = wv("red").zip(wv("green")).map { case (r, g) =>
+      math.rint((r + g) / 3.0 * 1e6) / 1e6 + 0.0 // / 3: OOV counts in n
+    }
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("shared-token documents embed closer than disjoint-token documents") {
+    val m = Doc2Vec.fit(corpus, "tokens", dim = 8, seed = 7L)
+    val vecs = m.transform(corpus).select(col("doc_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("docvec")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(x: Array[Double], y: Array[Double]) = {
+      val d = x.zip(y).map { case (a, b) => a * b }.sum
+      d / (math.sqrt(x.map(a => a * a).sum) * math.sqrt(y.map(a => a * a).sum))
+    }
+    val within = cos(vecs(0L), vecs(5L)) // both sublanguage A
+    val across = cos(vecs(0L), vecs(15L)) // A vs B
+    assert(within > across,
+      s"within-language cos $within not above cross-language $across")
+  }
+}
