@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture (north_rule): input is read as-is (at 10^12 turns this is
   * an Iceberg table with bucket(conv_id) partitioning; here a parquet dir);
-  * the per-turn kernel is embarrassingly parallel after a salted
-  * repartition that breaks up skewed long conversations; the write is
+  * the per-turn kernel is embarrassingly parallel and runs MAP-SIDE in the
+  * scan stage — the job's only shuffle is the write's keyed repartition,
+  * salted (bucket, turn_idx % salts) so a skewed long conversation spreads
+  * across up to `salts` writer tasks instead of one straggler; the write is
   * bucket-partitioned and manifest-guarded INSIDE an unpublished snapshot
   * directory, so a resumed run recomputes only unfinished buckets AND
   * readers of the published table never see a torn write — the snapshot
@@ -71,9 +73,16 @@ object ExtractJob {
         .contains(params))
       .getOrElse(TableIO.nextSnapshotName(spark, table))
     TableIO.writeSidecar(spark, table, snap, "params", params)
+    // NO upfront repartition: the kernel is per-turn embarrassingly
+    // parallel and runs map-side inside the scan stage (size-balanced
+    // splits), so the job's ONLY shuffle is the write's keyed repartition —
+    // which is where conversation skew actually bites and where
+    // resumableWrite's salted (bucket, turn_idx % salts) keying handles it.
+    // Round 4 removed a full-corpus salted shuffle that sat in front of the
+    // kernel doing nothing for a per-turn pipeline.
+    // (`Scale.saltedRepartition` remains the tool for per-CONVERSATION
+    // compute stages, where co-location with spread is the point.)
     val turns = spark.read.parquet(in)
-    val salted = Scale.saltedRepartition(
-      turns, partitions = cpus * 4, salts = salts)
     // Observation (not a bare .observe name): the metrics are retrieved
     // after the write action and printed — the bare-name spelling computed
     // the aggregates on every row and silently discarded them (round-3
@@ -88,7 +97,7 @@ object ExtractJob {
     //    subset (round-4 review finding).
     // Both fall back to one aggregation over the written table.
     val resumed = Scale.completedBuckets(spark, s"$table/$snap/manifest").nonEmpty
-    val pipeline = Extract.pipeline(salted)
+    val pipeline = Extract.pipeline(turns)
     val obs =
       if (waves == 1 && !resumed)
         Some(org.apache.spark.sql.Observation("extract_metrics"))
@@ -101,7 +110,8 @@ object ExtractJob {
     // granularity, never bucket identity, so a retry may resume the same
     // staging snapshot at a different wave count safely.
     val written = Scale.resumableWrite(extracted,
-      TableIO.dataDir(table, snap), s"$table/$snap/manifest", nBuckets, waves)
+      TableIO.dataDir(table, snap), s"$table/$snap/manifest", nBuckets, waves,
+      salts)
     val m: Map[String, Any] = obs.map(_.get).getOrElse {
       val dataDir = TableIO.dataDir(table, snap)
       if (!Scale.hasBucketData(spark, dataDir)) // zero-row corpus: no dirs

@@ -124,9 +124,11 @@ object Scale {
     * wave re-reads the corpus (kernel work still runs once per row — the
     * bucket filter sits below the projection), so keep waves modest (4–8). */
   def resumableWrite(df: DataFrame, outDir: String, manifestDir: String,
-                     nBuckets: Int = DefaultBuckets, waves: Int = 1): Long = {
+                     nBuckets: Int = DefaultBuckets, waves: Int = 1,
+                     salts: Int = 1): Long = {
     require(waves >= 1 && waves <= nBuckets,
       s"waves must be in [1, nBuckets]: $waves")
+    require(salts >= 1, s"salts must be >= 1: $salts")
     val spark = df.sparkSession
     val done = completedBuckets(spark, manifestDir)
     val withBucket = df.withColumn("bucket", bucketCol(nBuckets))
@@ -142,8 +144,20 @@ object Scale {
         val wave =
           if (waveBuckets.size == nBuckets) withBucket // nothing to prune
           else withBucket.filter(col("bucket").isin(waveBuckets.map(Int.box): _*))
-        wave
-          .repartition(col("bucket"))
+        // salts > 1 spreads one bucket across up to `salts` writer tasks
+        // (keyed by turn_idx mod salts): a 10^9-turn conversation lands in
+        // ONE bucket, and a bucket-only repartition would hand the whole
+        // thing to a single straggler writer. partitionBy lets every task
+        // write its own file into the bucket dir, so skew is handled AT the
+        // write — no upfront corpus-wide salted shuffle needed for a
+        // per-turn pipeline (that shuffle was pure overhead; round-4 fix).
+        // Order stays a read-side contract: each file is sorted, the bucket
+        // dir as a whole is not — consumers sort on (conv_id, turn_idx),
+        // never assume file order (SURVEY §1).
+        val keyed =
+          if (salts <= 1) wave.repartition(col("bucket"))
+          else wave.repartition(col("bucket"), pmod(col("turn_idx"), lit(salts)))
+        keyed
           .sortWithinPartitions("conv_id", "turn_idx")
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("bucket").parquet(outDir)
@@ -163,8 +177,19 @@ object Scale {
           waveBuckets.map(b => b -> counts.getOrElse(b, 0L)))
       }
     }
-    // total rows now present = manifest sum (metadata-sized read)
+    // total rows now present = manifest sum (metadata-sized read), ONE
+    // record per bucket: the manifest is append-only, so a duplicate append
+    // — a crashed run that died between its write-job commit and its
+    // manifest append and was then re-run, or an operator racing two
+    // writers against one staging snapshot — records the same bucket twice
+    // (with identical counts; the data dirs themselves are last-writer-wins
+    // under dynamic overwrite). completedBuckets is distinct-by-bucket for
+    // the same reason. Single-writer-per-snapshot remains the operating
+    // assumption (the Iceberg deployment gets real commit-level OCC);
+    // dedup here keeps the BOOKKEEPING honest under the crash-retry races
+    // the manifest exists for.
     spark.read.parquet(manifestDir)
+      .groupBy(col("bucket")).agg(max(col("rows")).as("rows"))
       .agg(sum(col("rows"))).collect()(0).getLong(0)
   }
 }

@@ -101,6 +101,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(Scale.completedBuckets(spark, s"$tmp/man") === (0 until 8).toSet)
   }
 
+  test("salted write spreads a skewed conversation across writer files") {
+    // a 1000-turn conversation lands entirely in ONE bucket; with salts>1
+    // the write's (bucket, turn_idx % salts) keying hands it to several
+    // writer tasks → several files in that bucket dir, no straggler. The
+    // table content must be identical to the unsalted write.
+    val tmp = Files.createTempDirectory("graft_salted_write").toString
+    val skewed = Transcripts.synthetic(spark, 2000, 10, skewFactor = 100)
+      .drop("doc_text")
+    val result = Extract.pipeline(skewed)
+    // AQE coalescing merges this fixture-sized shuffle back into one task
+    // (at corpus scale the salt groups exceed the advisory partition size
+    // and stay separate) — pin the spread mechanism without it
+    val n1 = Scale.resumableWrite(result, s"$tmp/plain", s"$tmp/man1", nBuckets = 8)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val n2 =
+      try Scale.resumableWrite(result, s"$tmp/salted", s"$tmp/man2",
+        nBuckets = 8, salts = 8)
+      finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert(n1 === n2)
+    val a = spark.read.parquet(s"$tmp/plain").select("conv_id", "turn_idx", "text")
+    val b = spark.read.parquet(s"$tmp/salted").select("conv_id", "turn_idx", "text")
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+    // the skewed conversation's bucket dir holds multiple data files
+    val hotBucket = result.withColumn("bucket", Scale.bucketCol(8))
+      .filter(col("conv_id") === "c00000000000000")
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    assert(hotBucket.size === 1)
+    val files = new java.io.File(s"$tmp/salted/bucket=${hotBucket.head}")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(files > 1, s"skewed bucket written by a single task ($files file)")
+  }
+
   test("salted repartition spreads a skewed conversation across partitions") {
     val skewed = Transcripts.synthetic(spark, 2000, 10, skewFactor = 100)
       .drop("doc_text")
