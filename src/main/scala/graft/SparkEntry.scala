@@ -57,6 +57,20 @@ object SparkEntry {
   // DuckDB regexes are RE2: no backreferences — spell the triple-repeat
   // filter as the explicit 26-triple alternation (exactly the scan the
   // reference performs, modules/main_corpus_processing.py:46-47).
+  /** q41's data-product aggregate — ALSO q62's oracle (the CSV round-trip
+    * must reproduce the product exactly), kept as ONE string so the two
+    * gates cannot drift (round-4 review finding). */
+  private val OracleDataProduct =
+    """SELECT n_name,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           round(sum(o_totalprice), 2) AS total
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1"""
+
   private val OracleTriples = ('a' to 'z').map(c => s"$c$c$c").mkString("|")
   private val OracleTokens =
     s"""list_filter(
@@ -850,7 +864,11 @@ object SparkEntry {
     // reads `wells_aggregated.csv` into its map dashboards
     // (src/bokeh_wells_map.ipynb cell 1).
     "q62_csv_roundtrip" -> ((s, dir) => {
-      val out = s"/tmp/graft_q62_csv_${math.abs(dir.hashCode)}"
+      // pid in the path: two processes gating the same sf concurrently must
+      // not overwrite each other's CSV between the lazy write and read
+      // (floorMod, not abs — abs(Int.MinValue) is negative)
+      val out = s"/tmp/graft_q62_csv_${ProcessHandle.current().pid()}_" +
+        math.floorMod(dir.hashCode, 1 << 30)
       queries("q41_data_product")(s, dir)
         .write.mode("overwrite").option("header", "true").csv(out)
       s.read.schema(
@@ -1333,27 +1351,11 @@ object SparkEntry {
          FROM f""",
 
     "q41_data_product" ->
-      """SELECT n_name,
-           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
-           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
-           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
-           round(sum(o_totalprice), 2) AS total
-         FROM orders
-         JOIN customer ON o_custkey = c_custkey
-         JOIN nation ON c_nationkey = n_nationkey
-         GROUP BY 1""",
+      OracleDataProduct,
 
     // S8+S11 — the CSV round-trip must reproduce the data product exactly
     "q62_csv_roundtrip" ->
-      """SELECT n_name,
-           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
-           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
-           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
-           round(sum(o_totalprice), 2) AS total
-         FROM orders
-         JOIN customer ON o_custkey = c_custkey
-         JOIN nation ON c_nationkey = n_nationkey
-         GROUP BY 1""",
+      OracleDataProduct,
 
     // ---- multimodal: DuckDB replays the synthetic generator (pure id
     // arithmetic — Multimodal.synthetic: len = 64 + id%64, byte_i =
@@ -1627,19 +1629,27 @@ object SparkEntry {
     // stated rounding.
 
     // M16 — document vectors replayed from q60's exported word vectors:
-    // whitespace tokenize (occurrences kept), join to the vocab (inner join
-    // drops OOV — they contribute zero to the sum), divide by the TOTAL
-    // token count (Word2VecModel.transform's denominator, probed
-    // empirically). + 0.0 folds -0.0 (engine does the same).
+    // whitespace tokenize (occurrences kept), join to the vocab, divide by
+    // the TOTAL token count (Word2VecModel.transform's denominator, probed
+    // empirically). Built LEFT-of-documents so a doc whose every token is
+    // OOV still yields its zero vector — an inner join would DROP such
+    // docs while the engine emits zeros (round-4 review finding; no such
+    // doc exists in today's fixtures, but the gate must not depend on
+    // that). + 0.0 folds -0.0 (engine does the same).
     "q61_doc2vec" ->
       """WITH wv AS (SELECT token, dim, w
                      FROM read_parquet('__VERIFY_OUT__/q60_word_vectors/*.parquet')),
-         tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n,
-                   unnest(string_split(text, ' ')) AS token
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents),
-         sums AS (SELECT t.doc_id, v.dim, sum(v.w) AS sw, any_value(t.n) AS n
-                  FROM tok t JOIN wv v USING (token) GROUP BY 1, 2)
-         SELECT doc_id, dim, round(sw / n, 6) + 0.0 AS v FROM sums""",
+         sums AS (SELECT t.doc_id, v.dim, sum(v.w) AS sw
+                  FROM tok t JOIN wv v USING (token) GROUP BY 1, 2),
+         docs AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+                  FROM documents),
+         dims AS (SELECT DISTINCT dim FROM wv)
+         SELECT d.doc_id, m.dim,
+           round(coalesce(s.sw, 0.0) / d.n, 6) + 0.0 AS v
+         FROM docs d CROSS JOIN dims m
+         LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.dim = m.dim""",
 
     // M4/M5/M6 — the dominant flag replayed from the exported doc-topic
     // weights: per-doc max, first topic attaining it (the engine decides

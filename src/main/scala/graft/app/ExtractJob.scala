@@ -112,9 +112,20 @@ object ExtractJob {
     val written = Scale.resumableWrite(extracted,
       TableIO.dataDir(table, snap), s"$table/$snap/manifest", nBuckets, waves,
       salts)
+    // zero-row corpus: the bucketed write commits no partition dirs, and
+    // publishing a fileless data dir makes TableIO.readTable throw on
+    // schema inference forever after (the snapshotWrite path repairs this
+    // the same way — round-3/round-4 review findings). Write one
+    // schema-bearing empty parquet before publish.
+    if (!Scale.hasBucketData(spark, TableIO.dataDir(table, snap)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        extracted.schema)
+        .repartition(1).write.mode("overwrite")
+        .parquet(TableIO.dataDir(table, snap))
     val m: Map[String, Any] = obs.map(_.get).getOrElse {
       val dataDir = TableIO.dataDir(table, snap)
-      if (!Scale.hasBucketData(spark, dataDir)) // zero-row corpus: no dirs
+      if (spark.read.parquet(dataDir).isEmpty) // zero-row corpus
         Map("turns_out" -> 0L, "empty_turns" -> 0L, "chars_out" -> 0L)
       else {
         val r = spark.read.parquet(dataDir)

@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * over the whitespace token stream, with document vectors by
   * token-occurrence averaging — which is exactly `Word2VecModel.transform`'s
   * semantics: the SUM of in-vocab token vectors divided by the TOTAL token
-  * count, out-of-vocabulary tokens contributing zero (probed empirically and
-  * replayed bit-for-bit by the q61 DuckDB oracle from q60's exported word
-  * vectors).
+  * count, out-of-vocabulary tokens contributing zero (probed empirically;
+  * the q61 DuckDB oracle replays it from q60's exported word vectors, exact
+  * under the 6dp export rounding — as with every float-replay oracle in
+  * this engine, a value landing within an ulp of a rounding boundary is the
+  * known residual risk, not a claimed impossibility).
   *
   * Scale posture: training is the bottleneck (driver-side vocab, broadcast
   * model, `numPartitions` trades determinism for throughput) — at corpus
