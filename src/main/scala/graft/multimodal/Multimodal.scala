@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque `binary`
   * columns with typed metadata, plus decode / feature-extract / resize /
-  * frame-sample stages whose Spark-side shape (schema, partitioning, batch
-  * signature) is real and tested while the media codec itself is STUBBED —
-  * this container ships no image/audio libraries, so the decode kernel is a
-  * deterministic fake clearly marked below. The reference's analog is the
-  * TIFF metadata scan + tesseract shell-out
+  * frame-sample stages. The IMAGE decode path is REAL as of round 4 —
+  * `javax.imageio` (JDK-bundled, no external codec needed) decodes genuine
+  * BMPs end to end under the driver gate (see "REAL decode" below); the
+  * audio/video decode kernel remains a clearly-marked deterministic stub
+  * (those codecs genuinely aren't in this container). The reference's
+  * analog is the TIFF metadata scan + tesseract shell-out
   * (reference: modules/image_ocr.py:11-36).
   */
 object Multimodal {
@@ -92,6 +93,109 @@ object Multimodal {
       // per-partition decoder init would happen here (lazy val in closure)
       it.map { case (id, bytes) => (id, decodeBytes(bytes)) }
     }.toDF("media_id", "features")
+  }
+
+  // ---------------------------------------------------------- REAL decode
+
+  /** REAL image decode tier (round 4): the "no codec libraries" constraint
+    * only covers EXTERNAL codecs — `javax.imageio` ships in the JDK and
+    * reads BMP/PNG/JPEG/GIF. The synthetic corpus below emits GENUINE
+    * 24-bit uncompressed BMPs assembled arithmetically from the row id; the
+    * decode stage reads them back through ImageIO; and the driver's DuckDB
+    * oracle replays the pixel arithmetic — so the gate proves an actual
+    * decoder round-trip (headers, bottom-up row order, row padding, channel
+    * order), not a fake. The histogram stub [[decodeBytes]] remains the
+    * stand-in for kinds the JDK cannot decode (audio/video codecs). */
+
+  /** Deterministic pixel channels, TOP-DOWN image coordinates. Mod 251 (a
+    * prime < 256) keeps values byte-safe and the oracle replay exact. */
+  @inline private def rCh(id: Long, x: Int, y: Int): Int = ((id * 31 + y * 17 + x * 7) % 251).toInt
+  @inline private def gCh(id: Long, x: Int, y: Int): Int = ((id * 13 + y * 11 + x * 5) % 251).toInt
+  @inline private def bCh(id: Long, x: Int, y: Int): Int = ((id * 29 + y * 23 + x * 3) % 251).toInt
+  private def bmpW(id: Long): Int = 4 + (id % 4).toInt
+  private def bmpH(id: Long): Int = 3 + (id % 3).toInt
+
+  /** A genuine 24-bit BI_RGB BMP: 14-byte file header, 40-byte info header,
+    * bottom-up BGR rows padded to 4-byte boundaries. Widths 4–7 exercise
+    * every padding case (0–3 pad bytes). */
+  def bmpBytes(id: Long): Array[Byte] = {
+    val w = bmpW(id); val h = bmpH(id)
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val imageSize = (rowBytes + pad) * h
+    val fileSize = 54 + imageSize
+    val out = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel-data offset
+    out.putInt(40).putInt(w).putInt(h) // positive height = bottom-up
+      .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+      .putInt(imageSize).putInt(0).putInt(0).putInt(0).putInt(0)
+    var y = h - 1
+    while (y >= 0) { // bottom-up row order
+      var x = 0
+      while (x < w) {
+        out.put(bCh(id, x, y).toByte).put(gCh(id, x, y).toByte)
+          .put(rCh(id, x, y).toByte)
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { out.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    out.array()
+  }
+
+  /** Deterministic synthetic table of REAL BMP payloads. */
+  def syntheticBmp(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      MediaRow(id, bmpBytes(id),
+        MediaMeta("image", bmpW(id), bmpH(id), 0, "bmp"))
+    }.toDF()
+  }
+
+  /** REAL decode: ImageIO → (width, height, per-channel pixel-mean in ppm).
+    * Integer ppm math (sum · 10^6 / pixels, floor) so the oracle replay is
+    * bit-exact (NOTES trap: never gate float summation order). Returns
+    * null-feature row on undecodable bytes (quarantine semantics, never a
+    * task kill). */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val px = img.getRGB(x, y) // ARGB, top-down
+          sr += (px >> 16) & 0xFF; sg += (px >> 8) & 0xFF; sb += px & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Some((w, h, sr * 1000000L / n, sg * 1000000L / n, sb * 1000000L / n))
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Image feature extraction over the REAL decoder — same mapPartitions
+    * batch shape as [[extractFeatures]] (one decoder per partition, rows
+    * streamed); undecodable payloads surface as decoded=false rows. */
+  def extractImageFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        decodeImage(bytes) match {
+          case Some((w, h, r, g, b)) => (id, true, w, h, r, g, b)
+          case None => (id, false, 0, 0, 0L, 0L, 0L)
+        }
+      }
+      .toDF("media_id", "decoded", "width", "height", "r_ppm", "g_ppm", "b_ppm")
   }
 
   /** Resize stage stub: metadata transform only (a real impl rewrites the

@@ -49,6 +49,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(vec.sum - 1.0f) < 1e-6) // histogram fractions sum to 1
   }
 
+  test("REAL decode: ImageIO round-trips the arithmetic BMPs exactly") {
+    // bmpBytes builds a genuine 24-bit BMP; decodeImage must return the
+    // encoded dimensions and exact integer channel means for every
+    // width (4..7 — all row-padding cases) and height (3..5)
+    (0L until 12L).foreach { id =>
+      val Some((w, h, r, g, b)) = Multimodal.decodeImage(Multimodal.bmpBytes(id))
+      assert(w === 4 + (id % 4).toInt && h === 3 + (id % 3).toInt)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += ((id * 31 + y * 17 + x * 7) % 251)
+        sg += ((id * 13 + y * 11 + x * 5) % 251)
+        sb += ((id * 29 + y * 23 + x * 3) % 251)
+      }
+      val n = w.toLong * h
+      assert((r, g, b) === (sr * 1000000L / n, sg * 1000000L / n, sb * 1000000L / n),
+        s"channel means diverged for id=$id")
+    }
+    // undecodable bytes quarantine as None, never a task kill
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)) === None)
+    assert(Multimodal.decodeImage(Array.empty[Byte]) === None)
+    assert(Multimodal.decodeImage(null) === None)
+  }
+
+  test("image feature extraction flags undecodable rows instead of failing") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Multimodal.bmpBytes(0L)),
+      (1L, Array[Byte](9, 9, 9))) // not an image
+      .toDF("media_id", "payload")
+    val out = Multimodal.extractImageFeatures(rows)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out === Map(0L -> true, 1L -> false))
+  }
+
   test("metadata scan prunes the payload column from the binaryFile read") {
     val dir = Files.createTempDirectory("graft_blobs3")
     Files.write(Paths.get(dir.toString, "y.png"), Array[Byte](1, 2))
