@@ -580,6 +580,14 @@ object SparkEntry {
       graft.multimodal.Multimodal.extractImageFeatures(
         graft.multimodal.Multimodal.syntheticBmp(s, 300))),
 
+    // REAL audio decode under the gate: genuine RIFF/WAVE PCM payloads →
+    // javax.sound.sampled decode → integer sample stats; oracle replays the
+    // sample arithmetic. With q63 this leaves VIDEO as the only stubbed
+    // codec (no JDK video decoder exists).
+    "q64_audio_decode" -> ((s, dir) =>
+      graft.multimodal.Multimodal.extractAudioFeatures(
+        graft.multimodal.Multimodal.syntheticWav(s, 300))),
+
     // SimHash near-dup — md5-portable 32-bit signature so DuckDB replays it;
     // maxHamming=3 < bands=4 makes the banded join pigeonhole-EXACT, i.e.
     // identical to the oracle's all-pairs scan (round-1 bug: radius 16 over
@@ -1414,6 +1422,21 @@ object SparkEntry {
            CAST(sg * 1000000 // (w * h) AS BIGINT) AS g_ppm,
            CAST(sb * 1000000 // (w * h) AS BIGINT) AS b_ppm
          FROM agg""",
+
+    // q64 — the WAV sample arithmetic replayed: n = 50 + id%50 samples,
+    // sample i = ((id·31 + i·7) mod 2003) − 1001. A hash match means the
+    // JDK audio stack returned EXACTLY the encoded PCM stream.
+    "q64_audio_decode" ->
+      """WITH sm AS (
+           SELECT CAST(t.s AS BIGINT) AS media_id,
+             ((t.s * 31 + i.i * 7) % 2003) - 1001 AS v
+           FROM generate_series(0, 299) t(s)
+           JOIN generate_series(0, 98) i(i) ON i.i < 50 + t.s % 50)
+         SELECT media_id, TRUE AS decoded, CAST(8000 AS INT) AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_pcm,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs_pcm
+         FROM sm GROUP BY 1""",
 
     "q38_frame_sample" ->
       """WITH v AS (

@@ -198,6 +198,86 @@ object Multimodal {
       .toDF("media_id", "decoded", "width", "height", "r_ppm", "g_ppm", "b_ppm")
   }
 
+  /** Deterministic 16-bit PCM samples: centered around 0, byte-exact to
+    * replay (2003 is prime; values in [-1001, 1001] fit 16-bit signed). */
+  @inline private def pcmSample(id: Long, i: Int): Int =
+    (((id * 31 + i * 7) % 2003) - 1001).toInt
+  private def wavSamples(id: Long): Int = 50 + (id % 50).toInt
+
+  /** A genuine RIFF/WAVE file: 44-byte canonical header (PCM, mono,
+    * 16-bit, 8 kHz) + little-endian samples. */
+  def wavBytes(id: Long): Array[Byte] = {
+    val n = wavSamples(id)
+    val dataSize = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000) // sample rate
+      .putInt(8000 * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) { out.putShort(pcmSample(id, i).toShort); i += 1 }
+    out.array()
+  }
+
+  /** Deterministic synthetic table of REAL WAV payloads. */
+  def syntheticWav(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      MediaRow(id, wavBytes(id),
+        MediaMeta("audio", 0, 0, wavSamples(id) * 1000 / 8000, "wav"))
+    }.toDF()
+  }
+
+  /** REAL audio decode: `javax.sound.sampled` (JDK-bundled) parses the WAV
+    * container and PCM encoding → (sampleRateHz, nSamples, sum, sumAbs) —
+    * all integers, so the oracle replay is bit-exact. Undecodable bytes →
+    * None (quarantine semantics). */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Long, Long, Long)] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian)
+        return None
+      val bytes = in.readAllBytes()
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var sum = 0L; var sumAbs = 0L; var n = 0L
+      while (buf.remaining() >= 2) {
+        val s = buf.getShort.toLong
+        sum += s; sumAbs += math.abs(s); n += 1
+      }
+      Some((fmt.getSampleRate.toInt, n, sum, sumAbs))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Audio feature extraction over the REAL decoder — mapPartitions batch
+    * shape, undecodable rows flagged. */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        decodeAudio(bytes) match {
+          case Some((sr, n, sum, sumAbs)) => (id, true, sr, n, sum, sumAbs)
+          case None => (id, false, 0, 0L, 0L, 0L)
+        }
+      }
+      .toDF("media_id", "decoded", "sample_rate", "n_samples", "sum_pcm",
+        "sum_abs_pcm")
+  }
+
   /** Resize stage stub: metadata transform only (a real impl rewrites the
     * payload); demonstrates typed struct surgery without exploding rows. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame =

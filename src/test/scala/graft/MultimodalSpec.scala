@@ -83,6 +83,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out === Map(0L -> true, 1L -> false))
   }
 
+  test("REAL decode: the JDK audio stack round-trips the arithmetic WAVs") {
+    (0L until 8L).foreach { id =>
+      val Some((sr, n, sum, sumAbs)) = Multimodal.decodeAudio(Multimodal.wavBytes(id))
+      val expN = 50 + (id % 50).toInt
+      var es = 0L; var ea = 0L
+      (0 until expN).foreach { i =>
+        val v = ((id * 31 + i * 7) % 2003) - 1001
+        es += v; ea += math.abs(v)
+      }
+      assert((sr, n, sum, sumAbs) === ((8000, expN.toLong, es, ea)),
+        s"PCM stats diverged for id=$id")
+    }
+    assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3, 4)) === None)
+    assert(Multimodal.decodeAudio(null) === None)
+  }
+
   test("metadata scan prunes the payload column from the binaryFile read") {
     val dir = Files.createTempDirectory("graft_blobs3")
     Files.write(Paths.get(dir.toString, "y.png"), Array[Byte](1, 2))
