@@ -1401,8 +1401,11 @@ object SparkEntry {
          LEFT JOIN cnt ON cnt.media_id = m.media_id AND cnt.feat_idx = idx.feat_idx""",
 
     // q63 — the BMP pixel arithmetic replayed: w = 4 + id%4, h = 3 + id%3,
-    // channel (x, y, top-down) formulas mod 251, ppm = floor(sum·10^6 / wh).
-    // A hash match here means ImageIO returned EXACTLY the encoded pixels.
+    // channel (x, y, top-down) formulas mod 251, ppm = floor(sum·10^6 / wh),
+    // plus the POSITION-WEIGHTED red sum Σ r(x,y)·(y·w + x + 1). Plain sums
+    // are permutation-invariant (a vertically-flipped decode would pass
+    // them); the weighted sum is what makes a hash match prove ImageIO
+    // returned the encoded pixels AT their encoded positions.
     "q63_image_decode" ->
       """WITH px AS (
            SELECT CAST(s AS BIGINT) AS media_id,
@@ -1414,28 +1417,32 @@ object SparkEntry {
            SELECT media_id, any_value(w) AS w, any_value(h) AS h,
              sum((media_id * 31 + y * 17 + x * 7) % 251) AS sr,
              sum((media_id * 13 + y * 11 + x * 5) % 251) AS sg,
-             sum((media_id * 29 + y * 23 + x * 3) % 251) AS sb
+             sum((media_id * 29 + y * 23 + x * 3) % 251) AS sb,
+             sum(((media_id * 31 + y * 17 + x * 7) % 251)
+                 * (y * w + x + 1)) AS wr
            FROM px GROUP BY 1)
          SELECT media_id, TRUE AS decoded,
            CAST(w AS INT) AS width, CAST(h AS INT) AS height,
            CAST(sr * 1000000 // (w * h) AS BIGINT) AS r_ppm,
            CAST(sg * 1000000 // (w * h) AS BIGINT) AS g_ppm,
-           CAST(sb * 1000000 // (w * h) AS BIGINT) AS b_ppm
+           CAST(sb * 1000000 // (w * h) AS BIGINT) AS b_ppm,
+           CAST(wr AS BIGINT) AS r_wsum
          FROM agg""",
 
     // q64 — the WAV sample arithmetic replayed: n = 50 + id%50 samples,
-    // sample i = ((id·31 + i·7) mod 2003) − 1001. A hash match means the
-    // JDK audio stack returned EXACTLY the encoded PCM stream.
+    // sample i = ((id·31 + i·7) mod 2003) − 1001, plus the ORDER-pinning
+    // weighted sum Σ vᵢ·(i+1) (plain sums would pass a reversed stream).
     "q64_audio_decode" ->
       """WITH sm AS (
-           SELECT CAST(t.s AS BIGINT) AS media_id,
+           SELECT CAST(t.s AS BIGINT) AS media_id, i.i AS i,
              ((t.s * 31 + i.i * 7) % 2003) - 1001 AS v
            FROM generate_series(0, 299) t(s)
            JOIN generate_series(0, 98) i(i) ON i.i < 50 + t.s % 50)
          SELECT media_id, TRUE AS decoded, CAST(8000 AS INT) AS sample_rate,
            CAST(count(*) AS BIGINT) AS n_samples,
            CAST(sum(v) AS BIGINT) AS sum_pcm,
-           CAST(sum(abs(v)) AS BIGINT) AS sum_abs_pcm
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs_pcm,
+           CAST(sum(v * (i + 1)) AS BIGINT) AS wsum_pcm
          FROM sm GROUP BY 1""",
 
     "q38_frame_sample" ->

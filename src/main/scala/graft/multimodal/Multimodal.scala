@@ -5,13 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque `binary`
   * columns with typed metadata, plus decode / feature-extract / resize /
-  * frame-sample stages. The IMAGE decode path is REAL as of round 4 —
-  * `javax.imageio` (JDK-bundled, no external codec needed) decodes genuine
-  * BMPs end to end under the driver gate (see "REAL decode" below); the
-  * audio/video decode kernel remains a clearly-marked deterministic stub
-  * (those codecs genuinely aren't in this container). The reference's
-  * analog is the TIFF metadata scan + tesseract shell-out
-  * (reference: modules/image_ocr.py:11-36).
+  * frame-sample stages. The IMAGE and AUDIO decode paths are REAL as of
+  * round 4 — `javax.imageio` and `javax.sound.sampled` (JDK-bundled, no
+  * external codec needed) decode genuine BMPs / RIFF-WAVE PCM end to end
+  * under the driver gate (see "REAL decode" below); only VIDEO decode
+  * remains a clearly-marked deterministic stub (the JDK ships no video
+  * decoder). The reference's analog is the TIFF metadata scan + tesseract
+  * shell-out (reference: modules/image_ocr.py:11-36).
   */
 object Multimodal {
 
@@ -105,7 +105,8 @@ object Multimodal {
     * oracle replays the pixel arithmetic — so the gate proves an actual
     * decoder round-trip (headers, bottom-up row order, row padding, channel
     * order), not a fake. The histogram stub [[decodeBytes]] remains the
-    * stand-in for kinds the JDK cannot decode (audio/video codecs). */
+    * stand-in for the one kind the JDK cannot decode (video codecs;
+    * audio got its own real tier below). */
 
   /** Deterministic pixel channels, TOP-DOWN image coordinates. Mod 251 (a
     * prime < 256) keeps values byte-safe and the oracle replay exact. */
@@ -155,47 +156,80 @@ object Multimodal {
     }.toDF()
   }
 
-  /** REAL decode: ImageIO → (width, height, per-channel pixel-mean in ppm).
-    * Integer ppm math (sum · 10^6 / pixels, floor) so the oracle replay is
-    * bit-exact (NOTES trap: never gate float summation order). Returns
-    * null-feature row on undecodable bytes (quarantine semantics, never a
-    * task kill). */
-  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+  /** Pixel budget for [[decodeImage]]: a header may truthfully parse while
+    * declaring absurd dimensions (decompression bomb) — reject BEFORE
+    * allocating the raster, because the resulting OutOfMemoryError is an
+    * Error no quarantine catch should swallow (round-4 review finding). */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
+  /** REAL decode: ImageIO → (width, height, per-channel pixel-mean in ppm,
+    * per-channel POSITION-WEIGHTED sum). Integer math throughout so the
+    * oracle replay is bit-exact (NOTES trap: never gate float summation
+    * order). The weighted sum — Σ channel(x,y) · (y·w + x + 1) — is what
+    * makes the gate prove pixel POSITIONS, not just totals: a plain sum is
+    * permutation-invariant, so a vertically-flipped or mirrored decode
+    * would pass it (round-4 review finding). Undecodable or over-budget
+    * bytes → None (quarantine semantics — dimensions are checked from the
+    * HEADER, before raster allocation, so a bomb cannot OOM the task). */
+  def decodeImage(payload: Array[Byte])
+      : Option[(Int, Int, Long, Long, Long, Long)] = {
     if (payload == null || payload.isEmpty) return None
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) return None
-      val w = img.getWidth; val h = img.getHeight
-      var sr = 0L; var sg = 0L; var sb = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val px = img.getRGB(x, y) // ARGB, top-down
-          sr += (px >> 16) & 0xFF; sg += (px >> 8) & 0xFF; sb += px & 0xFF
-          x += 1
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val w = reader.getWidth(0); val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return None
+        val img = reader.read(0)
+        var sr = 0L; var sg = 0L; var sb = 0L; var wsum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val px = img.getRGB(x, y) // ARGB, top-down
+            val r = (px >> 16) & 0xFF; val g = (px >> 8) & 0xFF; val b = px & 0xFF
+            sr += r; sg += g; sb += b
+            wsum += r.toLong * (y.toLong * w + x + 1)
+            x += 1
+          }
+          y += 1
         }
-        y += 1
-      }
-      val n = w.toLong * h
-      Some((w, h, sr * 1000000L / n, sg * 1000000L / n, sb * 1000000L / n))
-    } catch { case _: java.io.IOException => None }
+        val n = w.toLong * h
+        Some((w, h, sr * 1000000L / n, sg * 1000000L / n, sb * 1000000L / n,
+          wsum))
+      } finally reader.dispose()
+    } catch {
+      // NonFatal, not just IOException: ImageIO plugins historically throw
+      // IndexOutOfBounds/IllegalArgument on corrupt data (round-4 review
+      // finding); genuine Errors (OOM) still propagate — the dimension
+      // budget above is what prevents them for bomb inputs.
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
-  /** Image feature extraction over the REAL decoder — same mapPartitions
-    * batch shape as [[extractFeatures]] (one decoder per partition, rows
-    * streamed); undecodable payloads surface as decoded=false rows. */
+  /** Image feature extraction over the REAL decoder — mapPartitions so a
+    * swapped-in heavyweight decoder has a per-partition init point (the
+    * documented batch shape; plain .map has none — round-4 review finding);
+    * undecodable payloads surface as decoded=false rows. */
   def extractImageFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
-        decodeImage(bytes) match {
-          case Some((w, h, r, g, b)) => (id, true, w, h, r, g, b)
-          case None => (id, false, 0, 0, 0L, 0L, 0L)
+      .mapPartitions { it =>
+        // per-partition decoder init goes here (lazy val in closure)
+        it.map { case (id, bytes) =>
+          decodeImage(bytes) match {
+            case Some((w, h, r, g, b, ws)) => (id, true, w, h, r, g, b, ws)
+            case None => (id, false, 0, 0, 0L, 0L, 0L, 0L)
+          }
         }
       }
-      .toDF("media_id", "decoded", "width", "height", "r_ppm", "g_ppm", "b_ppm")
+      .toDF("media_id", "decoded", "width", "height", "r_ppm", "g_ppm",
+        "b_ppm", "r_wsum")
   }
 
   /** Deterministic 16-bit PCM samples: centered around 0, byte-exact to
@@ -236,46 +270,53 @@ object Multimodal {
   }
 
   /** REAL audio decode: `javax.sound.sampled` (JDK-bundled) parses the WAV
-    * container and PCM encoding → (sampleRateHz, nSamples, sum, sumAbs) —
-    * all integers, so the oracle replay is bit-exact. Undecodable bytes →
-    * None (quarantine semantics). */
-  def decodeAudio(payload: Array[Byte]): Option[(Int, Long, Long, Long)] = {
+    * container and PCM encoding → (sampleRateHz, nSamples, sum, sumAbs,
+    * position-weighted sum Σ sᵢ·(i+1)) — all integers, so the oracle replay
+    * is bit-exact, and the weighted sum pins sample ORDER (a plain sum is
+    * permutation-invariant — round-4 review finding). Guards require
+    * PCM_SIGNED explicitly: a 16-bit mono little-endian PCM_UNSIGNED
+    * stream would otherwise pass and be silently misread as signed
+    * (round-4 review finding). Undecodable bytes → None. */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Long, Long, Long, Long)] = {
     if (payload == null || payload.isEmpty) return None
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       val fmt = in.getFormat
-      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian)
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian)
         return None
       val bytes = in.readAllBytes()
       val buf = java.nio.ByteBuffer.wrap(bytes)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      var sum = 0L; var sumAbs = 0L; var n = 0L
+      var sum = 0L; var sumAbs = 0L; var wsum = 0L; var n = 0L
       while (buf.remaining() >= 2) {
         val s = buf.getShort.toLong
-        sum += s; sumAbs += math.abs(s); n += 1
+        sum += s; sumAbs += math.abs(s); wsum += s * (n + 1); n += 1
       }
-      Some((fmt.getSampleRate.toInt, n, sum, sumAbs))
+      Some((fmt.getSampleRate.toInt, n, sum, sumAbs, wsum))
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      case scala.util.control.NonFatal(_) => None
     }
   }
 
-  /** Audio feature extraction over the REAL decoder — mapPartitions batch
-    * shape, undecodable rows flagged. */
+  /** Audio feature extraction over the REAL decoder — mapPartitions (the
+    * per-partition decoder-init batch shape), undecodable rows flagged. */
   def extractAudioFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
-        decodeAudio(bytes) match {
-          case Some((sr, n, sum, sumAbs)) => (id, true, sr, n, sum, sumAbs)
-          case None => (id, false, 0, 0L, 0L, 0L)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeAudio(bytes) match {
+            case Some((sr, n, sum, sumAbs, ws)) =>
+              (id, true, sr, n, sum, sumAbs, ws)
+            case None => (id, false, 0, 0L, 0L, 0L, 0L)
+          }
         }
       }
       .toDF("media_id", "decoded", "sample_rate", "n_samples", "sum_pcm",
-        "sum_abs_pcm")
+        "sum_abs_pcm", "wsum_pcm")
   }
 
   /** Resize stage stub: metadata transform only (a real impl rewrites the

@@ -54,18 +54,26 @@ class MultimodalSpec extends AnyFunSuite {
     // encoded dimensions and exact integer channel means for every
     // width (4..7 — all row-padding cases) and height (3..5)
     (0L until 12L).foreach { id =>
-      val Some((w, h, r, g, b)) = Multimodal.decodeImage(Multimodal.bmpBytes(id))
+      val Some((w, h, r, g, b, ws)) = Multimodal.decodeImage(Multimodal.bmpBytes(id))
       assert(w === 4 + (id % 4).toInt && h === 3 + (id % 3).toInt)
-      var sr = 0L; var sg = 0L; var sb = 0L
+      var sr = 0L; var sg = 0L; var sb = 0L; var ewr = 0L
       for (y <- 0 until h; x <- 0 until w) {
-        sr += ((id * 31 + y * 17 + x * 7) % 251)
+        val rv = (id * 31 + y * 17 + x * 7) % 251
+        sr += rv
         sg += ((id * 13 + y * 11 + x * 5) % 251)
         sb += ((id * 29 + y * 23 + x * 3) % 251)
+        ewr += rv * (y.toLong * w + x + 1) // position-weighted: pins (x, y)
       }
       val n = w.toLong * h
-      assert((r, g, b) === (sr * 1000000L / n, sg * 1000000L / n, sb * 1000000L / n),
-        s"channel means diverged for id=$id")
+      assert((r, g, b, ws) ===
+        ((sr * 1000000L / n, sg * 1000000L / n, sb * 1000000L / n, ewr)),
+        s"channel means/positions diverged for id=$id")
     }
+    // a header declaring bomb dimensions quarantines BEFORE allocation
+    val bomb = Multimodal.bmpBytes(0L)
+    val bb = java.nio.ByteBuffer.wrap(bomb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 500000); bb.putInt(22, 500000) // 2.5e11 pixels
+    assert(Multimodal.decodeImage(bomb) === None)
     // undecodable bytes quarantine as None, never a task kill
     assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)) === None)
     assert(Multimodal.decodeImage(Array.empty[Byte]) === None)
@@ -85,14 +93,15 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("REAL decode: the JDK audio stack round-trips the arithmetic WAVs") {
     (0L until 8L).foreach { id =>
-      val Some((sr, n, sum, sumAbs)) = Multimodal.decodeAudio(Multimodal.wavBytes(id))
+      val Some((sr, n, sum, sumAbs, ws)) =
+        Multimodal.decodeAudio(Multimodal.wavBytes(id))
       val expN = 50 + (id % 50).toInt
-      var es = 0L; var ea = 0L
+      var es = 0L; var ea = 0L; var ew = 0L
       (0 until expN).foreach { i =>
         val v = ((id * 31 + i * 7) % 2003) - 1001
-        es += v; ea += math.abs(v)
+        es += v; ea += math.abs(v); ew += v * (i + 1) // pins sample order
       }
-      assert((sr, n, sum, sumAbs) === ((8000, expN.toLong, es, ea)),
+      assert((sr, n, sum, sumAbs, ws) === ((8000, expN.toLong, es, ea, ew)),
         s"PCM stats diverged for id=$id")
     }
     assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3, 4)) === None)
