@@ -150,6 +150,10 @@ object Bench {
     //    to a file, with its path announced on its own line.
     val auditPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_AUDIT", "BENCH/bench_audit_latest.json")
+    // The per-query timings map lives HERE, not in the compact stdout line:
+    // 64 queries × ~20 bytes was what pushed the line past the driver's
+    // bounded tail window and left BENCH_r{3,4}.json unparsed (round-4
+    // VERDICT #2) — the compact line stays ~400 bytes without it.
     val audit =
       s"""{"protocol":"interleaved fresh-JVM rounds per level (${levels.map(l => s"$l:${runsPerLevel(l)}").mkString("runs ", " ", "")}) x $rounds rounds; fixed up front, no adaptive stopping; headline = median local[32]",
          |"scaling_pairing":"local2_to_local8 (N vs 4N; below the box bandwidth knee - see BENCH/BASELINE.md)",
@@ -158,6 +162,7 @@ object Bench {
          |"samples_local8":${arr(samples(8))},
          |"samples_local32":${arr(samples(32))},
          |"query_stat":"best of 2 timed passes after one untimed warmup pass",
+         |"queries":$qs,
          |"bench_turns":$nTurns}""".stripMargin
     try {
       val p = java.nio.file.Paths.get(auditPath)
@@ -181,7 +186,7 @@ object Bench {
       s""""scaling_efficiency_n8_to_n32":${r3(eff832Best)},""" +
       s""""scaling_efficiency_n2_to_n32":${r3(eff232Best)},""" +
       s""""bench_turns":$nTurns,"samples_file":"$auditPath",""" +
-      s""""queries_total_sec":${r3(total)},"queries":$qs,"sf":"$sfDir"}""")
+      s""""queries_total_sec":${r3(total)},"n_queries":${results.size},"sf":"$sfDir"}""")
     SparkEntry.releaseShared(spark)
     spark.stop()
   }

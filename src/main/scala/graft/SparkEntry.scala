@@ -196,12 +196,12 @@ object SparkEntry {
   private def doc2vecFitted(s: SparkSession, dir: String)
       : (org.apache.spark.ml.feature.Word2VecModel, DataFrame) =
     sharedDoc2vec.computeIfAbsent((s, dir), _ => {
-      // one partition in doc_id order: the fit must be deterministic for
-      // Doc2VecSpec and run-to-run stability (Doc2Vec scaladoc)
+      // determinism normalization (doc_id order, bounded prefix, one
+      // partition) lives inside Doc2Vec.fit — see its scaladoc for the
+      // corpus-scale fence (round-4 ADVICE/VERDICT)
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("tokens"))
-        .orderBy("doc_id").coalesce(1)
-      (graft.ml.Doc2Vec.fit(docs, "tokens"), docs)
+      (graft.ml.Doc2Vec.fit(docs, "doc_id", "tokens"), docs)
     })
 
   /** Unpersist the shared vocab-tier materialization for `s` — long-lived
@@ -263,6 +263,38 @@ object SparkEntry {
            tk -> list_contains($OracleStops, tk))) AS DOUBLE)
          / greatest(len(string_split($c, ' ')), 1)
        + 0.25)))"""
+
+  /** q62's CSV staging under /tmp. Each gate run writes one
+    * `/tmp/graft_q62_csv_<pid>_<sf-hash>` dir; a killed run never cleans up,
+    * so consecutive Verify sweeps used to accumulate orphans (round-4
+    * VERDICT #8). This helper (a) deletes dirs whose embedded pid is no
+    * longer alive, (b) records our own dir for deletion at JVM exit. The
+    * CSV must outlive the builder call — the returned DataFrame reads it
+    * lazily when the driver executes the query — so deletion cannot happen
+    * inline; process death is the correct lifetime. */
+  private val q62Dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+  private lazy val q62ExitHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      q62Dirs.forEach(p => deleteRecursively(new java.io.File(p)))))
+  private def q62Stage(sfHash: Int): String = {
+    val self = ProcessHandle.current().pid()
+    val stale = new java.io.File("/tmp")
+      .listFiles((_, n) => n.startsWith("graft_q62_csv_"))
+    if (stale != null) stale.foreach { d =>
+      val pid = d.getName.stripPrefix("graft_q62_csv_").takeWhile(_.isDigit)
+      // a recycled pid now owned by an unrelated live process is left alone
+      // (swept by a later run once the pid frees up)
+      if (pid.nonEmpty && pid.toLong != self &&
+          !ProcessHandle.of(pid.toLong).isPresent) deleteRecursively(d)
+    }
+    val out = s"/tmp/graft_q62_csv_${self}_$sfHash"
+    q62Dirs.add(out); q62ExitHook
+    out
+  }
 
   /** conv_id / turn_idx key mapping used by Transcripts.fromDocuments,
     * restated in SQL for the extraction oracles. */
@@ -884,9 +916,11 @@ object SparkEntry {
     "q62_csv_roundtrip" -> ((s, dir) => {
       // pid in the path: two processes gating the same sf concurrently must
       // not overwrite each other's CSV between the lazy write and read
-      // (floorMod, not abs — abs(Int.MinValue) is negative)
-      val out = s"/tmp/graft_q62_csv_${ProcessHandle.current().pid()}_" +
-        math.floorMod(dir.hashCode, 1 << 30)
+      // (floorMod, not abs — abs(Int.MinValue) is negative). q62Stage also
+      // sweeps dirs left by DEAD gate processes and deletes our own at JVM
+      // exit, so repeated Verify sweeps no longer accumulate /tmp litter
+      // (round-4 VERDICT #8).
+      val out = q62Stage(math.floorMod(dir.hashCode, 1 << 30))
       queries("q41_data_product")(s, dir)
         .write.mode("overwrite").option("header", "true").csv(out)
       s.read.schema(
@@ -961,9 +995,13 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""",
 
+    // NOT EXISTS, not NOT IN: the engine runs a left-anti join, and the two
+    // agree only while o_custkey is never NULL — one NULL makes NOT IN
+    // return ZERO rows while the anti-join returns every unmatched customer
+    // (round-4 VERDICT #6: the q51-bits class of silent oracle divergence).
     "q05_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
 
     "q06_window_topn" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rk

@@ -117,13 +117,24 @@ object ExtractJob {
     // schema inference forever after (the snapshotWrite path repairs this
     // the same way — round-3/round-4 review findings). Write one
     // schema-bearing empty parquet before publish.
+    // The placeholder's schema carries the `bucket` partition column a
+    // committed bucketed write exposes via its bucket= dirs — without it a
+    // zero-row snapshot's schema differs from every non-empty snapshot's,
+    // and a reader selecting `bucket` fails only on empty corpora
+    // (round-4 ADVICE).
     if (!Scale.hasBucketData(spark, TableIO.dataDir(table, snap)))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        extracted.schema)
+        extracted.schema.add("bucket",
+          org.apache.spark.sql.types.IntegerType, nullable = false))
         .repartition(1).write.mode("overwrite")
         .parquet(TableIO.dataDir(table, snap))
-    val m: Map[String, Any] = obs.map(_.get).getOrElse {
+    // .filter(_.nonEmpty): a zero-row fresh run's keyed write launches zero
+    // tasks, so the Observation completes with an EMPTY map (no metrics row
+    // ever accumulated) — fall through to the post-hoc aggregation, which
+    // handles the zero-row table explicitly (surfaced by the round-5
+    // zero-row schema test).
+    val m: Map[String, Any] = obs.map(_.get).filter(_.nonEmpty).getOrElse {
       val dataDir = TableIO.dataDir(table, snap)
       if (spark.read.parquet(dataDir).isEmpty) // zero-row corpus
         Map("turns_out" -> 0L, "empty_turns" -> 0L, "chars_out" -> 0L)

@@ -175,33 +175,40 @@ object Multimodal {
       : Option[(Int, Int, Long, Long, Long, Long)] = {
     if (payload == null || payload.isEmpty) return None
     try {
+      // iis closed in try/finally INCLUDING the no-reader early return:
+      // with ImageIO's default useCache=true each stream can be a
+      // disk-backed FileCacheImageInputStream whose temp file + fd are
+      // otherwise reclaimed only at GC — a file-handle churn at the
+      // documented per-row scale (round-4 ADVICE).
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return None
-      val reader = readers.next()
       try {
-        reader.setInput(iis)
-        val w = reader.getWidth(0); val h = reader.getHeight(0)
-        if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return None
-        val img = reader.read(0)
-        var sr = 0L; var sg = 0L; var sb = 0L; var wsum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val px = img.getRGB(x, y) // ARGB, top-down
-            val r = (px >> 16) & 0xFF; val g = (px >> 8) & 0xFF; val b = px & 0xFF
-            sr += r; sg += g; sb += b
-            wsum += r.toLong * (y.toLong * w + x + 1)
-            x += 1
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val w = reader.getWidth(0); val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return None
+          val img = reader.read(0)
+          var sr = 0L; var sg = 0L; var sb = 0L; var wsum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val px = img.getRGB(x, y) // ARGB, top-down
+              val r = (px >> 16) & 0xFF; val g = (px >> 8) & 0xFF; val b = px & 0xFF
+              sr += r; sg += g; sb += b
+              wsum += r.toLong * (y.toLong * w + x + 1)
+              x += 1
+            }
+            y += 1
           }
-          y += 1
-        }
-        val n = w.toLong * h
-        Some((w, h, sr * 1000000L / n, sg * 1000000L / n, sb * 1000000L / n,
-          wsum))
-      } finally reader.dispose()
+          val n = w.toLong * h
+          Some((w, h, sr * 1000000L / n, sg * 1000000L / n, sb * 1000000L / n,
+            wsum))
+        } finally reader.dispose()
+      } finally iis.close()
     } catch {
       // NonFatal, not just IOException: ImageIO plugins historically throw
       // IndexOutOfBounds/IllegalArgument on corrupt data (round-4 review

@@ -23,8 +23,8 @@ class Doc2VecSpec extends AnyFunSuite {
   }
 
   test("seeded fit is deterministic and covers the full vocabulary") {
-    val m1 = Doc2Vec.fit(corpus, "tokens", dim = 8, seed = 7L)
-    val m2 = Doc2Vec.fit(corpus, "tokens", dim = 8, seed = 7L)
+    val m1 = Doc2Vec.fit(corpus, "doc_id", "tokens", dim = 8, seed = 7L)
+    val m2 = Doc2Vec.fit(corpus, "doc_id", "tokens", dim = 8, seed = 7L)
     val v1 = Doc2Vec.wordVectors(m1)
     val v2 = Doc2Vec.wordVectors(m2)
     assert(v1.exceptAll(v2).count() === 0, "same seed, different vectors")
@@ -36,7 +36,7 @@ class Doc2VecSpec extends AnyFunSuite {
     // including the OOV-in-denominator rule ("zz" appears once < minCount)
     val withOov = corpus.union(
       Seq((21L, Seq("red", "green", "zz"))).toDF("doc_id", "tokens"))
-    val m = Doc2Vec.fit(withOov, "tokens", dim = 8, seed = 7L)
+    val m = Doc2Vec.fit(withOov, "doc_id", "tokens", dim = 8, seed = 7L)
     val wv = m.getVectors.collect().map(r =>
       r.getString(0) -> r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray)
       .toMap
@@ -51,7 +51,7 @@ class Doc2VecSpec extends AnyFunSuite {
   }
 
   test("shared-token documents embed closer than disjoint-token documents") {
-    val m = Doc2Vec.fit(corpus, "tokens", dim = 8, seed = 7L)
+    val m = Doc2Vec.fit(corpus, "doc_id", "tokens", dim = 8, seed = 7L)
     val vecs = m.transform(corpus).select(col("doc_id"),
         org.apache.spark.ml.functions.vector_to_array(col("docvec")).as("v"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap

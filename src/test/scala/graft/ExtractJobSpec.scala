@@ -64,6 +64,25 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(TableIO.readTable(spark, s"$tmp/table").count() === 200)
   }
 
+  test("zero-row corpus publishes a readable snapshot WITH the bucket column") {
+    // the empty placeholder parquet must carry the `bucket` partition column
+    // a committed bucketed write exposes via its bucket= dirs — otherwise a
+    // reader selecting `bucket` works on every non-empty snapshot and fails
+    // only on empty corpora (round-4 ADVICE schema asymmetry)
+    val tmp = Files.createTempDirectory("graft_job_empty").toString
+    Transcripts.synthetic(spark, 10, 5).drop("doc_text")
+      .filter("turn_idx < 0") // empty, schema intact
+      .write.parquet(s"$tmp/in")
+    val (snap, n) = ExtractJob.run(spark, s"$tmp/in", s"$tmp/table",
+      nBuckets = 8, salts = 4, cpus = 4)
+    assert(n === 0)
+    val published = TableIO.readTable(spark, s"$tmp/table", Some(snap))
+    assert(published.count() === 0)
+    // same projection a non-empty snapshot serves — incl. the partition col
+    assert(published.select("conv_id", "turn_idx", "text", "bucket")
+      .count() === 0)
+  }
+
   test("resume with different bucketing starts fresh, never mixes manifests") {
     val tmp = Files.createTempDirectory("graft_job_params").toString
     Transcripts.synthetic(spark, 200, 10).drop("doc_text")
