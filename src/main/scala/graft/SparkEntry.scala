@@ -150,21 +150,42 @@ object SparkEntry {
       (graft.ml.Lda.fit(features, k = 5), features)
     })
 
-  /** ONE LSA projection per (session, sf) shared by q44 (the projection
-    * itself) and q49 (PCA over it) — the docs × k frame is tiny and the
-    * truncated SVD behind it is the expensive part. Released by
-    * [[releaseShared]]. */
-  private val sharedLsa =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** ONE LSA fit per (session, sf) shared by q44 (the projection), q49 (PCA
+    * over it) and the q65/q66 model exports — the docs × k frame is tiny
+    * and the truncated SVD behind it is the expensive part. The cached V
+    * matrix is what the q44 replay oracle consumes via q65's export.
+    * Released by [[releaseShared]]. */
+  private val sharedLsa = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, org.apache.spark.mllib.linalg.Matrix)]()
 
-  private def lsaProjection(s: SparkSession, dir: String): DataFrame =
+  private def lsaModel(s: SparkSession, dir: String)
+      : (DataFrame, org.apache.spark.mllib.linalg.Matrix) =
     sharedLsa.computeIfAbsent((s, dir), _ => {
       val (vocab, n, vocabSize) = vocabInfo(s, dir)
       val tfidf = Vocab.tfidfFromCounts(docTermCounts(s, dir), vocab, "doc_id", n)
       // materialize = persist + release the internal vector-RDD cache;
       // releaseShared unpersists the returned frame
-      graft.ml.Lsa.project(tfidf, "doc_id", "tfidf", vocabSize, k = 5,
+      graft.ml.Lsa.projectModel(tfidf, "doc_id", "tfidf", vocabSize, k = 5,
         materialize = true)
+    })
+
+  private def lsaProjection(s: SparkSession, dir: String): DataFrame =
+    lsaModel(s, dir)._1
+
+  /** ONE PCA fit per (session, sf) shared by q49 (the 2-D projection) and
+    * q65 (the exported component matrix q49's replay oracle reads) — the
+    * two MUST read the same fit, exactly the q60/q61 sharing contract. */
+  private val sharedPca = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.ml.feature.PCAModel]()
+
+  private def pcaFitted(s: SparkSession, dir: String)
+      : org.apache.spark.ml.feature.PCAModel =
+    sharedPca.computeIfAbsent((s, dir), _ => {
+      import org.apache.spark.ml.feature.PCA
+      import org.apache.spark.ml.functions.array_to_vector
+      new PCA().setK(2).setInputCol("features").setOutputCol("pc")
+        .fit(lsaProjection(s, dir)
+          .withColumn("features", array_to_vector(col("projection"))))
     })
 
   /** ONE seeded KMeans fit per (session, sf) shared by q40 (assignments)
@@ -221,7 +242,12 @@ object SparkEntry {
     val sit = sharedLsa.entrySet().iterator()
     while (sit.hasNext) {
       val e = sit.next()
-      if (e.getKey._1 eq s) { e.getValue.unpersist(); sit.remove() }
+      if (e.getKey._1 eq s) { e.getValue._1.unpersist(); sit.remove() }
+    }
+    val pit = sharedPca.entrySet().iterator()
+    while (pit.hasNext) {
+      val e = pit.next()
+      if (e.getKey._1 eq s) pit.remove()
     }
     val kit = sharedKmeans.entrySet().iterator()
     while (kit.hasNext) {
@@ -681,12 +707,59 @@ object SparkEntry {
     }),
 
     // M2 — LSA: tfidf → truncated SVD(k=5) → L2 normalize (reference Entry 3
-    // middle tier). Rows-only driver check (SVD sign/rotation is not
-    // SQL-replayable); geometry is pinned by LsaSpec.
+    // middle tier). The ARPACK fit is not SQL-replayable, but the projection
+    // IS `tfidf · V` followed by an L2 normalize — so with V exported by q65
+    // the oracle recomputes EVERY value from the documents table + the
+    // query's own model export (round-4 VERDICT #1: the q40/q50/q52
+    // self-consistency pattern applied to LSA). + 0.0 folds IEEE -0.0 so a
+    // value rounding to zero from below renders identically in both engines.
     "q44_lsa" -> ((s, dir) =>
       lsaProjection(s, dir)
         .select(col("doc_id"), posexplode(col("projection")).as(Seq("dim", "value")))
-        .select(col("doc_id"), col("dim"), round(col("value"), 4).as("value"))),
+        .select(col("doc_id"), col("dim"),
+          (round(col("value"), 4) + lit(0.0d)).as("value"))),
+
+    // The LSA/PCA model state behind q44/q49, exported at FULL double
+    // precision as the replay input for their oracles (rows-only itself —
+    // the fit is the one thing no oracle can recompute):
+    //   part='loading': V(token_id, dim)   — the right singular vectors
+    //   part='proj':    normalized projection(doc_id, dim) — what PCA reads
+    //   part='pc':      W(lsa_dim, pc_idx) — the PCA component matrix
+    // V and W are driver-local by design (vocab is keepN-capped; k×2 is
+    // tiny) — the same scale argument as broadcasting them.
+    "q65_lsa_model" -> ((s, dir) => {
+      import s.implicits._
+      val (proj, v) = lsaModel(s, dir)
+      val pc = pcaFitted(s, dir).pc
+      // the q44/q49 oracles replay exactly 5 LSA dims and a 5×2 component
+      // matrix — fail LOUDLY if a corpus ever converges fewer (q47 pattern)
+      require(v.numCols == 5 && pc.numRows == 5 && pc.numCols == 2,
+        s"q44/q49 oracles are pinned to k=5/pc=5x2, got V ${v.numRows}x${v.numCols}, pc ${pc.numRows}x${pc.numCols}")
+      val loadings = (for { i <- 0 until v.numRows; j <- 0 until v.numCols }
+        yield ("loading", i.toLong, j, v(i, j))).toDF("part", "i", "j", "value")
+      val pcRows = (for { i <- 0 until pc.numRows; j <- 0 until pc.numCols }
+        yield ("pc", i.toLong, j, pc(i, j))).toDF("part", "i", "j", "value")
+      val projRows = proj.select(lit("proj").as("part"), col("doc_id").as("i"),
+        posexplode(col("projection")).as(Seq("j", "value")))
+      loadings.union(pcRows).union(projRows)
+    }),
+
+    // Orthonormality of the exported V, computed DRIVER-SIDE from the model
+    // matrix (k×k gram over the capped vocab — not the export), while the
+    // oracle recomputes the same gram in SQL from q65's exported loadings:
+    // a green row proves the export is faithful AND VᵀV ≈ I is visible in
+    // the checked values themselves (round-4 VERDICT #1's orthonormality
+    // check). rint vs half-away rounding never diverges here: true values
+    // are 0/1 to SVD accuracy (~1e-14), nowhere near a .00000005 boundary.
+    "q66_lsa_ortho" -> ((s, dir) => {
+      import s.implicits._
+      val (_, v) = lsaModel(s, dir)
+      (for { a <- 0 until v.numCols; b <- a until v.numCols } yield {
+        var g = 0.0; var i = 0
+        while (i < v.numRows) { g += v(i, a) * v(i, b); i += 1 }
+        (a, b, math.rint(g * 1e6) / 1e6 + 0.0)
+      }).toDF("i", "j", "g")
+    }),
 
     // T2 scale path — LSH-bucketed ANN top-k with bitsFor sizing and
     // multi-probe, fully replayed by the DuckDB oracle (the hyperplane
@@ -727,20 +800,21 @@ object SparkEntry {
     }),
 
     // M7 — PCA 2-D projection over the LSA output (reference:
-    // src/doc_classification.py:304-311 — viz tier; rows-only driver check,
-    // geometry pinned by LsaSpec's PCA assertions).
+    // src/doc_classification.py:304-311 — viz tier). MLlib's PCA transform
+    // is `y = Wᵀx` with NO centering, so with W and the full-precision LSA
+    // projection exported by q65 the oracle replays every coordinate
+    // (round-4 VERDICT #1); the covariance eigen-fit itself stays
+    // unreplayed, pinned by LsaSpec. Fit shared with q65 via [[pcaFitted]]
+    // — the replay MUST read the same model. + 0.0 folds IEEE -0.0.
     "q49_pca" -> ((s, dir) => {
-      import org.apache.spark.ml.feature.PCA
       import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
       val lsa = lsaProjection(s, dir)
         .withColumn("features", array_to_vector(col("projection")))
-      val model = new PCA().setK(2).setInputCol("features").setOutputCol("pc")
-        .fit(lsa)
-      model.transform(lsa)
+      pcaFitted(s, dir).transform(lsa)
         .select(col("doc_id"), vector_to_array(col("pc")).as("pc"))
         .select(col("doc_id"),
-          round(col("pc").getItem(0), 4).as("pc1"),
-          round(col("pc").getItem(1), 4).as("pc2"))
+          (round(col("pc").getItem(0), 4) + lit(0.0d)).as("pc1"),
+          (round(col("pc").getItem(1), 4) + lit(0.0d)).as("pc2"))
     }),
 
     // M8 — per-point silhouette of the seeded KMeans clustering (reference:
@@ -1728,6 +1802,69 @@ object SparkEntry {
     // is taken as given from the export; everything derived from it is
     // recomputed in SQL and must match the engine bit-for-bit after the
     // stated rounding.
+
+    // M2 — the LSA projection replayed from q65's exported V: rebuild the
+    // engine's full-precision tfidf (q16's CTE chain without the 6dp round),
+    // multiply by the exported loadings, L2-normalize per doc, round 4dp.
+    // The ARPACK fit is taken as given via V; the tfidf × V linear algebra
+    // every downstream consumer reads is cross-engine-verified (round-4
+    // VERDICT #1). CASE nn = 0 mirrors the engine's zero-norm passthrough.
+    "q44_lsa" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest($OracleTokens) AS token FROM documents),
+          stats AS (
+            SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          vocab AS (
+            SELECT token, df,
+              CAST(row_number() OVER (ORDER BY df DESC, token ASC) - 1 AS BIGINT) AS id
+            FROM stats, n WHERE df >= 2 AND df <= 0.9 * n_docs),
+          bow AS (
+            SELECT doc_id, id AS token_id, df, count(*) AS cnt
+            FROM toks JOIN vocab USING (token) GROUP BY 1, 2, 3),
+          tfidf AS (
+            SELECT doc_id, token_id,
+              cnt * ln((SELECT n_docs FROM n) / CAST(df AS DOUBLE)) AS tfidf
+            FROM bow),
+          ld AS (SELECT i AS token_id, j AS dim, value AS ldg
+                 FROM read_parquet('__VERIFY_OUT__/q65_lsa_model/*.parquet')
+                 WHERE part = 'loading'),
+          raw AS (SELECT t.doc_id, l.dim, sum(t.tfidf * l.ldg) AS r
+                  FROM tfidf t JOIN ld l USING (token_id) GROUP BY 1, 2),
+          nrm AS (SELECT doc_id, sqrt(sum(r * r)) AS nn FROM raw GROUP BY 1)
+          SELECT r.doc_id, r.dim,
+            round(CASE WHEN nn = 0 THEN r ELSE r / nn END, 4) + 0.0 AS value
+          FROM raw r JOIN nrm USING (doc_id)""",
+
+    // M7 — every PCA coordinate replayed from q65's export: y = Wᵀx over
+    // the full-precision normalized LSA projection (part='proj') and the
+    // component matrix (part='pc'). No centering — MLlib's transform
+    // multiplies the raw vector (probed; LsaSpec pins it too).
+    "q49_pca" ->
+      """WITH pj AS (SELECT i AS doc_id, j AS dim, value AS v
+                     FROM read_parquet('__VERIFY_OUT__/q65_lsa_model/*.parquet')
+                     WHERE part = 'proj'),
+         pc AS (SELECT i AS dim, j AS pcx, value AS w
+                FROM read_parquet('__VERIFY_OUT__/q65_lsa_model/*.parquet')
+                WHERE part = 'pc'),
+         prod AS (SELECT pj.doc_id, pc.pcx, sum(pj.v * pc.w) AS p
+                  FROM pj JOIN pc USING (dim) GROUP BY 1, 2)
+         SELECT doc_id,
+           round(max(CASE WHEN pcx = 0 THEN p END), 4) + 0.0 AS pc1,
+           round(max(CASE WHEN pcx = 1 THEN p END), 4) + 0.0 AS pc2
+         FROM prod GROUP BY 1""",
+
+    // M2 — VᵀV recomputed in SQL from q65's exported loadings while the
+    // engine computes it from the in-memory model matrix: a green row
+    // proves export fidelity, and the checked values sitting at 1.0/0.0
+    // document the orthonormality of the fitted basis (round-4 VERDICT #1).
+    "q66_lsa_ortho" ->
+      """WITH ld AS (SELECT i, j, value
+                     FROM read_parquet('__VERIFY_OUT__/q65_lsa_model/*.parquet')
+                     WHERE part = 'loading')
+         SELECT a.j AS i, b.j AS j, round(sum(a.value * b.value), 6) + 0.0 AS g
+         FROM ld a JOIN ld b ON a.i = b.i AND a.j <= b.j
+         GROUP BY 1, 2""",
 
     // M16 — document vectors replayed from q60's exported word vectors:
     // whitespace tokenize (occurrences kept), join to the vocab, divide by

@@ -33,7 +33,19 @@ object Lsa {
     * the vector RDD must stay cached for the lazy projection and is
     * reclaimed only when the frame is garbage-collected. */
   def project(tfidf: DataFrame, docKey: String, valueCol: String,
-              vocabSize: Int, k: Int, materialize: Boolean = false): DataFrame = {
+              vocabSize: Int, k: Int, materialize: Boolean = false): DataFrame =
+    projectModel(tfidf, docKey, valueCol, vocabSize, k, materialize)._1
+
+  /** [[project]] plus the fitted right-singular-vector matrix V (vocabSize ×
+    * kEff) the projection is `tfidf · V` of. Exposing V is what makes the
+    * projection CROSS-ENGINE VERIFIABLE even though the ARPACK fit is not:
+    * an oracle holding V and the tfidf long form can replay every projected
+    * value (round-4 VERDICT #1 — the q40/q50/q52 self-consistency pattern
+    * applied to the linear algebra downstream consumers read). V is local
+    * by the same scale argument as the broadcast: vocab is keepN-capped. */
+  def projectModel(tfidf: DataFrame, docKey: String, valueCol: String,
+              vocabSize: Int, k: Int, materialize: Boolean = false)
+      : (DataFrame, org.apache.spark.mllib.linalg.Matrix) = {
     val spark = tfidf.sparkSession
     import spark.implicits._
     require(k <= vocabSize, s"k=$k exceeds vocabSize=$vocabSize")
@@ -67,12 +79,14 @@ object Lsa {
       val n = math.sqrt(proj.map(p => p * p).sum)
       (doc, if (n == 0.0) proj.toSeq else proj.map(_ / n).toSeq)
     }.toDF(docKey, "projection")
-    if (!materialize) out
-    else {
-      val cached = out.persist(StorageLevel.MEMORY_AND_DISK)
-      cached.count()
-      docVecs.unpersist()
-      cached
-    }
+    val frame =
+      if (!materialize) out
+      else {
+        val cached = out.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.count()
+        docVecs.unpersist()
+        cached
+      }
+    (frame, svd.V)
   }
 }
