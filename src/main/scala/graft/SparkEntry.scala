@@ -72,12 +72,17 @@ object SparkEntry {
          GROUP BY 1"""
 
   private val OracleTriples = ('a' to 'z').map(c => s"$c$c$c").mkString("|")
-  private val OracleTokens =
+  /** The P2–P7 chain over an arbitrary text EXPRESSION — parameterized so
+    * q67 can feed it the P1-folded text (`translate(...)`), while every
+    * ASCII-corpus query keeps the bare `text` spelling via [[OracleTokens]]
+    * (there the fold is identity). */
+  private def oracleTokensOf(textExpr: String) =
     s"""list_filter(
-         string_split_regex(lower(regexp_replace(regexp_replace(text, '[[:punct:]]', '', 'g'), '[0-9\\n\\r]', '', 'g')), '\\s+'),
+         string_split_regex(lower(regexp_replace(regexp_replace($textExpr, '[[:punct:]]', '', 'g'), '[0-9\\n\\r]', '', 'g')), '\\s+'),
          tk -> length(tk) >= 3 AND length(tk) < 15
                AND NOT regexp_matches(tk, '$OracleTriples')
                AND NOT list_contains($OracleStops, tk))"""
+  private val OracleTokens = oracleTokensOf("text")
 
   /** P4 fixture lexicon: token → (lemma, POS) over corpus-attested tokens.
     * ADJ entries exercise the allowlist drop; agg/dup exercise the lemma
@@ -960,6 +965,27 @@ object SparkEntry {
         .select(col("doc_id"), col("topic"), round(col("weight"), 6).as("weight"))
       graft.ml.Lda.topicCorr(dt, "doc_id")
     }),
+
+    // P1 UNDER THE GATE (round-4 VERDICT #4): the fixture corpus is
+    // ASCII-clean, so in every other green row the fold runs as identity —
+    // here every FoldFrom character is prepended (Normalize.
+    // FoldCoverageSentence, shaped to survive P2–P7) and the oracle mirrors
+    // the fold with DuckDB translate over the same map, so a green row
+    // proves the fold MAP, not just the pipeline around it.
+    "q67_fold_accents" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), explode(Normalize.pipeline(
+        concat(lit(Normalize.FoldCoverageSentence + " "), col("text"))))
+        .as("token"))),
+
+    // Non-ASCII through the FULL extraction kernel (the q30 contract over
+    // accent-prefixed documents): multi-byte text crosses every payload
+    // shape — markup content, layout line chunking, JSON string — and must
+    // come back byte-exact (per-turn text equality). Without this the
+    // lexer's non-ASCII handling ran spec-only (round-4 VERDICT #4).
+    "q68_extract_accented" -> ((s, dir) =>
+      Extract.pipeline(Transcripts.fromDocumentsPrefixed(s, dir,
+        Normalize.FoldCoverageSentence))
+        .select(col("conv_id"), col("turn_idx"), col("text"))),
 
     // ---------------------------------------------------------- extraction
     // E1–E6 — THE FLAGSHIP: full extraction kernel over the documents-derived
@@ -1971,6 +1997,20 @@ object SparkEntry {
     // per-turn text equality holds over the adversarial shells too
     "q59_extract_adversarial" ->
       s"""SELECT $OracleConvId AS conv_id, $OracleTurnIdx AS turn_idx, text
+          FROM documents""",
+
+    // P1 replay: the SAME fold map as the engine, applied by DuckDB
+    // translate BEFORE the shared P2–P7 chain (both engines fold first).
+    "q67_fold_accents" ->
+      s"""SELECT doc_id, unnest(${oracleTokensOf(
+            s"translate('${Normalize.FoldCoverageSentence} ' || text, " +
+              s"'${Normalize.FoldFrom}', '${Normalize.FoldTo}')")}) AS token
+          FROM documents""",
+
+    // per-turn text equality with the accent prefix intact, byte-exact
+    "q68_extract_accented" ->
+      s"""SELECT $OracleConvId AS conv_id, $OracleTurnIdx AS turn_idx,
+            '${Normalize.FoldCoverageSentence} ' || text AS text
           FROM documents""",
 
     "q31_spans" ->

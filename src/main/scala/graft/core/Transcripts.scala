@@ -125,6 +125,21 @@ object Transcripts {
   def fromDocumentsAdversarial(spark: SparkSession, dir: String): DataFrame =
     fromDocs(spark, dir, adversarialPayload)
 
+  /** [[fromDocuments]] with every document's text prefixed by `prefix` + one
+    * space BEFORE the payload wrapping — the round-5 vehicle for putting
+    * NON-ASCII text through the full extraction kernel under the driver
+    * gate (q68): the fixture corpus is ASCII-clean, so without this the
+    * lexer's multi-byte handling ran spec-only. `prefix` must contain no
+    * newline/quote/backslash (it enters shape 2's line chunking and shape
+    * 3's JSON string); expected extraction = `prefix + " " + text`. */
+  def fromDocumentsPrefixed(spark: SparkSession, dir: String,
+                            prefix: String): DataFrame = {
+    require(!prefix.exists(c => c == '\n' || c == '"' || c == '\\'),
+      "prefix must be newline/quote/backslash-free (shape 2/3 payload safety)")
+    fromDocs(spark, dir, (id, text) =>
+      payload(id, concat(lit(prefix + " "), text)))
+  }
+
   // shape 0's content <p> opens with a SELF-CLOSED anchor: a lexer whose
   // link scope leaked (round-3 finding) would count the whole text as link
   // chars and misclassify the content block chrome — observable as an empty

@@ -16,9 +16,20 @@ object Normalize {
     * Deterministic small fold map for Latin-1/Latin-Extended accents via
     * `translate` (codegen'd char map — exactly the semantics the fixture
     * oracle pins; SURVEY.md §7 "hard parts" (a)). */
-  private val FoldFrom = "àáâãäåèéêëìíîïòóôõöùúûüçñýÿÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÇÑÝ"
-  private val FoldTo   = "aaaaaaeeeeiiiiooooouuuucnyyAAAAAAEEEEIIIIOOOOOUUUUCNY"
+  val FoldFrom = "àáâãäåèéêëìíîïòóôõöùúûüçñýÿÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÇÑÝ"
+  val FoldTo   = "aaaaaaeeeeiiiiooooouuuucnyyAAAAAAEEEEIIIIOOOOOUUUUCNY"
   def asciiFold(c: Column): Column = translate(c, FoldFrom, FoldTo)
+
+  /** Every [[FoldFrom]] character at least once, shaped to SURVIVE the full
+    * P1–P8 pipeline: chars grouped in (≤3)-char clusters interleaved with
+    * 'x', so each folded token has length 3–5, no aaa-style triple run, and
+    * is no stopword. The fixture corpus is ASCII-clean, which left P1
+    * running as IDENTITY in every green driver row (round-4 VERDICT #4) —
+    * q67/q68 prepend this sentence on BOTH engine and oracle sides (the
+    * oracle mirrors the fold with DuckDB `translate` over the same map), so
+    * the fold finally folds under the gate. */
+  val FoldCoverageSentence: String =
+    FoldFrom.grouped(3).map(_.mkString("x")).mkString(" ")
 
   /** P2 — delete punctuation, digits and newlines (NO space inserted — the
     * reference uses str.translate-delete, main_corpus_processing.py:34),

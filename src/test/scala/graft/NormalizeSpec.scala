@@ -77,6 +77,22 @@ class NormalizeSpec extends AnyFunSuite {
     assert(out === Seq("run", "table", "unknownword"))
   }
 
+  test("FoldCoverageSentence covers every FoldFrom char and survives P1-P7") {
+    // the q67/q68 gate contract: every accent char appears, and every token
+    // it contributes SURVIVES the full pipeline (a dropped token would put
+    // its chars through the fold without the gate ever seeing the result)
+    assert(Normalize.FoldFrom.forall(c =>
+      Normalize.FoldCoverageSentence.contains(c)))
+    val nTokens = Normalize.FoldCoverageSentence.split(" ").length
+    val out = Seq((0L, Normalize.FoldCoverageSentence)).toDF("doc_id", "text")
+      .select(Normalize.pipeline(col("text")).as("toks"))
+      .head().getSeq[String](0)
+    assert(out.length === nTokens,
+      s"pipeline dropped ${nTokens - out.length} coverage tokens: $out")
+    assert(out.forall(t => t.forall(c => c >= 'a' && c <= 'z')),
+      s"unfolded char survived: $out")
+  }
+
   test("P4: empty lexicon honors the default POS against the allowlist") {
     val df = Seq((0L, Seq("a", "b"))).toDF("doc_id", "tokens")
     val kept = df.select(Normalize.lemmaLookupPos(col("tokens"),
