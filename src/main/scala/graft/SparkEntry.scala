@@ -645,11 +645,20 @@ object SparkEntry {
 
     // REAL audio decode under the gate: genuine RIFF/WAVE PCM payloads →
     // javax.sound.sampled decode → integer sample stats; oracle replays the
-    // sample arithmetic. With q63 this leaves VIDEO as the only stubbed
-    // codec (no JDK video decoder exists).
+    // sample arithmetic.
     "q64_audio_decode" -> ((s, dir) =>
       graft.multimodal.Multimodal.extractAudioFeatures(
         graft.multimodal.Multimodal.syntheticWav(s, 300))),
+
+    // REAL video decode under the gate (round-4 VERDICT #5, the last fake
+    // kernel closed): genuine MJPEG-in-AVI containers → bounds-checked RIFF
+    // walk (ours — the JDK has no demuxer) → per-frame ImageIO JPEG decode
+    // (independent codec) → 32-wide level grid. The oracle replays frame
+    // count, order, dimensions and per-frame level from id arithmetic; the
+    // levels vary per frame_idx, so a reversed or resequenced walk fails.
+    "q69_video_decode" -> ((s, dir) =>
+      graft.multimodal.Multimodal.extractVideoFrames(
+        graft.multimodal.Multimodal.syntheticAvi(s, 300))),
 
     // SimHash near-dup — md5-portable 32-bit signature so DuckDB replays it;
     // maxHamming=3 < bands=4 makes the banded join pigeonhole-EXACT, i.e.
@@ -1582,6 +1591,18 @@ object SparkEntry {
            CAST(sum(abs(v)) AS BIGINT) AS sum_abs_pcm,
            CAST(sum(v * (i + 1)) AS BIGINT) AS wsum_pcm
          FROM sm GROUP BY 1""",
+
+    // q69 — the MJPEG-AVI gate replayed: n = 3 + id%4 frames, every frame
+    // 16×16, level of frame f = (id·7 + f·13) mod 8. A green row proves the
+    // container walk found exactly the encoded frames IN ORDER and ImageIO
+    // recovered each frame's gray level on the 32-wide grid.
+    "q69_video_decode" ->
+      """SELECT CAST(t.s AS BIGINT) AS media_id, TRUE AS decoded,
+           CAST(f.f AS INT) AS frame_idx,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST((t.s * 7 + f.f * 13) % 8 AS INT) AS level
+         FROM generate_series(0, 299) t(s)
+         JOIN generate_series(0, 6) f(f) ON f.f < 3 + t.s % 4""",
 
     "q38_frame_sample" ->
       """WITH v AS (
