@@ -84,6 +84,16 @@ class LdaSpec extends AnyFunSuite {
     assert(corr.head.getDouble(2) < -0.999)
   }
 
+  test("M17: heatmap linkage ordering runs over a fitted topicCorr output") {
+    // end-to-end over the real aggregate shape (k=2 ⇒ one cell, order is
+    // the two topic ids); the linkage arithmetic itself is pinned by
+    // LinkageSpec's hand-computed fixtures
+    val (model, features, _) = fitted
+    val corr = Lda.topicCorr(Lda.docTopics(model, features, "doc_id"), "doc_id")
+    val order = graft.ml.Linkage.topicHeatmapOrder(corr)
+    assert(order.sorted === Vector(0, 1))
+  }
+
   test("M18: log-perplexity is finite and improves with iterations") {
     val (_, features, _) = fitted
     val lp5 = Lda.logPerplexity(Lda.fit(features, k = 2, maxIter = 5), features)

@@ -1,0 +1,71 @@
+package graft
+
+import graft.ml.Linkage
+import graft.ml.Linkage.Merge
+import org.scalatest.funsuite.AnyFunSuite
+
+/** M17 completion — complete-linkage heatmap ordering (reference:
+  * modules/Heatmap.py:142-175). Driver-side on the k×k aggregate by
+  * design, so the pin is spec-level: a fully hand-computed 1-D fixture
+  * for the linkage core, and a block-structured correlation fixture for
+  * the reference's exact (double-pdist) ordering pipeline. */
+class LinkageSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("pdist is the symmetric Euclidean distance matrix") {
+    val d = Linkage.pdist(Array(Array(0.0, 0.0), Array(3.0, 4.0), Array(0.0, 8.0)))
+    assert(d(0)(0) === 0.0 && d(1)(1) === 0.0)
+    assert(d(0)(1) === 5.0 && d(1)(0) === 5.0) // 3-4-5 triangle
+    assert(d(0)(2) === 8.0)
+    assert(math.abs(d(1)(2) - 5.0) < 1e-12)    // (3,4)->(0,8): sqrt(9+16)
+  }
+
+  test("complete linkage on hand-computed 1-D points") {
+    // points 0,1 | 9,10 | 25. All pairwise distances are integers:
+    //   d(0,1)=1  d(2,3)=1  → the two tight pairs merge first (heights 1);
+    //   max-linkage between {0,1} and {9,10} = |0-10| = 10 → height 10;
+    //   the outlier 25 joins last at max |25-0| = 25.
+    val x = Array(Array(0.0), Array(1.0), Array(9.0), Array(10.0), Array(25.0))
+    val merges = Linkage.completeLinkage(Linkage.pdist(x))
+    assert(merges === Vector(
+      Merge(0, 1, 1.0), Merge(2, 3, 1.0), Merge(5, 6, 10.0), Merge(4, 7, 25.0)))
+    // dendrogram leaves: root (4,7) → [4] then 7=(5,6) → [0,1] ++ [2,3]
+    assert(Linkage.leafOrder(5, merges) === Vector(4, 0, 1, 2, 3))
+  }
+
+  test("leafOrder of a single leaf is itself") {
+    assert(Linkage.leafOrder(1, Vector.empty) === Vector(0))
+  }
+
+  test("heatmapOrder groups correlated topic blocks (reference pipeline)") {
+    // correlation matrix with two blocks: topics {0,2} (corr .9) and
+    // {1,3} (corr .8), cross-block slightly negative. The reference
+    // pipeline — pdist, squareform, linkage on the SQUARE matrix (old
+    // scipy reads it as observations ⇒ an effective second pdist),
+    // dendrogram leaves — must order each block adjacently.
+    val corr = Array(
+      Array(1.0, -0.2, 0.9, -0.1),
+      Array(-0.2, 1.0, -0.3, 0.8),
+      Array(0.9, -0.3, 1.0, -0.25),
+      Array(-0.1, 0.8, -0.25, 1.0))
+    assert(Linkage.heatmapOrder(corr) === Vector(0, 2, 1, 3))
+    // symmetric input ⇒ the column pass (transpose) is identical
+    assert(Linkage.heatmapOrder(corr.transpose) === Vector(0, 2, 1, 3))
+    // merge heights of the inner linkage, hand-traceable from the first
+    // pdist: d1(0,2)=sqrt(2*(0.1^2+0.05^2))≈0.229 is the closest pair in
+    // BOTH pdist levels, so {0,2} merges first, then {1,3}, blocks last
+    val m = Linkage.completeLinkage(Linkage.pdist(Linkage.pdist(corr)))
+    assert(m.map(mm => (mm.a, mm.b)) === Vector((0, 2), (1, 3), (4, 5)))
+  }
+
+  test("topicHeatmapOrder reads the long-form upper-triangle aggregate") {
+    import spark.implicits._
+    // same block matrix as above, in Lda.topicCorr's (t1 < t2) long form,
+    // with non-contiguous topic ids to pin the id↔index mapping
+    val corr = Seq(
+      (10, 11, -0.2), (10, 12, 0.9), (10, 13, -0.1),
+      (11, 12, -0.3), (11, 13, 0.8), (12, 13, -0.25))
+      .toDF("t1", "t2", "corr")
+    assert(Linkage.topicHeatmapOrder(corr) === Vector(10, 12, 11, 13))
+  }
+}
