@@ -707,16 +707,37 @@ object SparkEntry {
     // cluster's members), computed relationally — posexplode → group mean →
     // join → distance algebra — and the oracle recomputes every value from
     // the exported assignments + the embeddings table in SQL.
+    // Exactness (round-4 ADVICE): the replay runs on the 1e-4 integer grid
+    // — vq = floor(v·1e4 + 0.5) per component, and the distance to the
+    // empirical centroid clears denominators, dist = sqrt(Σ(vq·cnt − Σvq)²)
+    // / (cnt·1e4), so EVERY sum both engines compare is exact integer
+    // arithmetic (order-independent; with |v| ≤ 1 and cnt ≤ 19k the
+    // squared terms stay within long — the require below fails loudly
+    // before either bound can silently overflow, the q47 pattern). The
+    // old double-summation spelling could diverge from DuckDB in the last
+    // ulp and flip the 6dp round at a boundary; on the grid the engines
+    // cannot diverge at all.
     "q40_kmeans" -> ((s, dir) => {
       val (model, emb) = kmeansFitted(s, dir)
       val asg = model.transform(emb).select(col("vec_id"), col("label"),
         col("prediction").as("cluster"), col("embedding"))
       val pts = asg.select(col("vec_id"), col("cluster"),
         posexplode(col("embedding")).as(Seq("dim", "v")))
-      val cent = pts.groupBy("cluster", "dim").agg(avg("v").as("c"))
+        .withColumn("vq",
+          floor(col("v").cast("double") * lit(1e4) + lit(0.5)).cast("long"))
+      val org.apache.spark.sql.Row(maxAbs: Double, nVec: Long) = emb
+        .select(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => greatest(acc, abs(x.cast("double")))).as("m"))
+        .agg(max(col("m")).cast("double"), count(lit(1))).head()
+      require(maxAbs <= 1.0 && nVec <= 19000L,
+        s"q40 grid arithmetic is sized for |v|<=1, n<=19k; got max|v|=$maxAbs, n=$nVec")
+      val cent = pts.groupBy("cluster", "dim")
+        .agg(sum("vq").as("s4"), count(lit(1)).as("cnt"))
       val dist = pts.join(cent, Seq("cluster", "dim"))
+        .withColumn("t", col("vq") * col("cnt") - col("s4"))
         .groupBy("vec_id")
-        .agg(round(sqrt(sum(pow(col("v") - col("c"), lit(2)))), 6).as("dist2c"))
+        .agg(round(sqrt(sum(col("t") * col("t")).cast("double"))
+          / (max(col("cnt")) * lit(1e4)), 6).as("dist2c"))
       asg.drop("embedding").join(dist, "vec_id")
     }),
 
@@ -1920,19 +1941,25 @@ object SparkEntry {
     // OOV still yields its zero vector — an inner join would DROP such
     // docs while the engine emits zeros (round-4 review finding; no such
     // doc exists in today's fixtures, but the gate must not depend on
-    // that). + 0.0 folds -0.0 (engine does the same).
+    // that). The sum runs over the SAME 1e-9 integer grid the engine sums
+    // on (floor(w·1e9 + 0.5) of identical exported doubles → identical
+    // longs; integer sums are order-independent), so the round-4 ADVICE
+    // summation-order flake class is structurally closed — the only float
+    // ops are one division and one round of bit-identical inputs.
+    // + 0.0 folds -0.0 (engine does the same).
     "q61_doc2vec" ->
-      """WITH wv AS (SELECT token, dim, w
+      """WITH wv AS (SELECT token, dim,
+                       CAST(floor(w * 1000000000.0 + 0.5) AS BIGINT) AS wq
                      FROM read_parquet('__VERIFY_OUT__/q60_word_vectors/*.parquet')),
          tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents),
-         sums AS (SELECT t.doc_id, v.dim, sum(v.w) AS sw
+         sums AS (SELECT t.doc_id, v.dim, CAST(sum(v.wq) AS BIGINT) AS s9
                   FROM tok t JOIN wv v USING (token) GROUP BY 1, 2),
          docs AS (SELECT doc_id, len(string_split(text, ' ')) AS n
                   FROM documents),
          dims AS (SELECT DISTINCT dim FROM wv)
          SELECT d.doc_id, m.dim,
-           round(coalesce(s.sw, 0.0) / d.n, 6) + 0.0 AS v
+           round(coalesce(s.s9, 0)::DOUBLE / (d.n * 1000000000.0), 6) + 0.0 AS v
          FROM docs d CROSS JOIN dims m
          LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.dim = m.dim""",
 
@@ -1952,19 +1979,28 @@ object SparkEntry {
          FROM dt d JOIN fm f USING (doc_id)""",
 
     // M3 — distance-to-empirical-centroid replayed from the exported
-    // assignments: per-cluster per-dim means, then euclidean distance (6dp).
-    // The fit is taken as given; the group-mean + distance algebra is
-    // cross-engine-verified.
+    // assignments: per-cluster per-dim means, then euclidean distance
+    // (6dp). The fit is taken as given; the group-mean + distance algebra
+    // is cross-engine-verified — on the SAME 1e-4 integer grid the engine
+    // uses, with denominators cleared (dist = sqrt(Σ(vq·cnt − Σvq)²) /
+    // (cnt·1e4)), so every compared sum is exact integer arithmetic and
+    // the round-4 ADVICE summation-order flake class is structurally
+    // closed. HUGEINT keeps the squared terms exact (DuckDB sums BIGINT
+    // into HUGEINT anyway; the cast makes it explicit).
     "q40_kmeans" ->
       """WITH asg AS (SELECT vec_id, label, cluster
                       FROM read_parquet('__VERIFY_OUT__/q40_kmeans/*.parquet')),
          pts AS (SELECT a.vec_id, a.cluster, d.d AS dim,
-                   e.embedding[d.d]::DOUBLE AS v
+                   CAST(floor(e.embedding[d.d]::DOUBLE * 10000.0 + 0.5)
+                     AS BIGINT) AS vq
                  FROM asg a JOIN embeddings e USING (vec_id),
                       generate_series(1, 64) d(d)),
-         cent AS (SELECT cluster, dim, avg(v) AS c FROM pts GROUP BY 1, 2),
+         cent AS (SELECT cluster, dim, CAST(sum(vq) AS BIGINT) AS s4,
+                    count(*) AS cnt FROM pts GROUP BY 1, 2),
          dist AS (SELECT vec_id,
-                    round(sqrt(sum((v - c) * (v - c))), 6) AS dist2c
+                    round(sqrt(sum(CAST((vq * cnt - s4) AS HUGEINT)
+                                   * (vq * cnt - s4))::DOUBLE)
+                      / (max(cnt) * 10000.0), 6) AS dist2c
                   FROM pts JOIN cent USING (cluster, dim) GROUP BY 1)
          SELECT a.vec_id, a.label, a.cluster, d.dist2c
          FROM asg a JOIN dist d USING (vec_id)""",

@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   * token-occurrence averaging — which is exactly `Word2VecModel.transform`'s
   * semantics: the SUM of in-vocab token vectors divided by the TOTAL token
   * count, out-of-vocabulary tokens contributing zero (probed empirically;
-  * the q61 DuckDB oracle replays it from q60's exported word vectors, exact
-  * under the 6dp export rounding — as with every float-replay oracle in
-  * this engine, a value landing within an ulp of a rounding boundary is the
-  * known residual risk, not a claimed impossibility).
+  * the q61 DuckDB oracle replays it from q60's exported word vectors over
+  * the same integer grid [[docVectors]] sums on, so the cross-engine
+  * compare carries NO float-summation-order residual — see docVectors'
+  * scaladoc).
   *
   * Scale posture: training is the bottleneck (driver-side vocab, broadcast
   * model, `numPartitions` trades determinism for throughput) — at corpus
@@ -58,16 +58,39 @@ object Doc2Vec {
       .select(col("word").as("token"),
         posexplode(vector_to_array(col("vector"))).as(Seq("dim", "w")))
 
-  /** Document vectors, long-form: (docKey, dim, round(v, 6)). + 0.0 folds
-    * IEEE -0.0 to +0.0 — averaged components sit near zero, and a value
-    * rounding to zero from below otherwise renders "-0.0" in one engine and
-    * "0.0" in the other, flipping the driver's hash compare (the q61 oracle
-    * adds the same normalization). */
+  /** Document vectors, long-form: (docKey, dim, round(v, 6)) — the
+    * `Word2VecModel.transform` averaging (sum of in-vocab token vectors /
+    * TOTAL token count, OOV contributing zero to the numerator only),
+    * spelled relationally over INTEGER-QUANTIZED word vectors: each
+    * component is snapped to the 1e-9 grid (`floor(w·1e9 + 0.5)`, a long)
+    * BEFORE summing, so the per-doc sum is exact integer arithmetic —
+    * order-independent — and the only float ops left are one division and
+    * one 6dp round of bit-identical inputs in both engines. This closes
+    * the round-4 ADVICE residual: with double summation, Spark's partial-
+    * agg order and DuckDB's group order could disagree in the last ulp and
+    * flip the 6dp round at a boundary; on the grid the engines cannot
+    * diverge at all. The 5e-10 quantization bias is invisible at the 6dp
+    * export except within 1e-9 of a rounding boundary — exactly the cases
+    * that were previously coin flips and are now pinned.
+    *
+    * Sums stay exact: |wq| ≤ ~5e9 per component and docs are ≤ ~1e3
+    * tokens, so per-doc sums sit far below 2^53 (exact as long AND as
+    * double). + 0.0 folds IEEE -0.0 to +0.0 (the q61 oracle mirrors).
+    * Scale shape: one broadcast of the vocab-sized vector map, one
+    * partial-agg shuffle on (doc, dim) — no corpus-side collect. */
   def docVectors(model: Word2VecModel, docs: DataFrame,
-                 docKey: String): DataFrame =
-    model.transform(docs)
-      .select(col(docKey), posexplode(vector_to_array(col("docvec")))
-        .as(Seq("dim", "v")))
+                 docKey: String): DataFrame = {
+    val wv = wordVectors(model)
+      .withColumn("wq", floor(col("w") * lit(1e9) + lit(0.5)).cast("long"))
+    val dims = wv.select("dim").distinct()
+    val sums = docs.select(col(docKey), explode(col("tokens")).as("token"))
+      .join(broadcast(wv.select("token", "dim", "wq")), "token")
+      .groupBy(col(docKey), col("dim")).agg(sum("wq").as("s9"))
+    docs.select(col(docKey), size(col("tokens")).as("n"))
+      .crossJoin(broadcast(dims))
+      .join(sums, Seq(docKey, "dim"), "left")
       .select(col(docKey), col("dim"),
-        (round(col("v"), 6) + lit(0.0d)).as("v"))
+        (round(coalesce(col("s9"), lit(0L)).cast("double")
+          / (col("n") * lit(1e9)), 6) + lit(0.0d)).as("v"))
+  }
 }

@@ -34,6 +34,9 @@ class Doc2VecSpec extends AnyFunSuite {
   test("doc vector = sum of in-vocab token vectors / TOTAL token count") {
     // q61's oracle replays exactly this arithmetic — pin it natively too,
     // including the OOV-in-denominator rule ("zz" appears once < minCount)
+    // and the 1e-9 quantization grid the engine sums on (round-4 ADVICE:
+    // integer sums are order-independent, so the cross-engine compare has
+    // no float-summation residual)
     val withOov = corpus.union(
       Seq((21L, Seq("red", "green", "zz"))).toDF("doc_id", "tokens"))
     val m = Doc2Vec.fit(withOov, "doc_id", "tokens", dim = 8, seed = 7L)
@@ -44,10 +47,30 @@ class Doc2VecSpec extends AnyFunSuite {
     val got = Doc2Vec.docVectors(m, withOov, "doc_id")
       .filter(col("doc_id") === 21L).orderBy("dim")
       .collect().map(_.getDouble(2))
+    def q(w: Double): Long = math.floor(w * 1e9 + 0.5).toLong
     val expected = wv("red").zip(wv("green")).map { case (r, g) =>
-      math.rint((r + g) / 3.0 * 1e6) / 1e6 + 0.0 // / 3: OOV counts in n
+      // / 3: OOV counts in the denominator; sums on the integer grid
+      math.rint((q(r) + q(g)).toDouble / (3.0 * 1e9) * 1e6) / 1e6 + 0.0
     }
     assert(got.toSeq === expected.toSeq)
+  }
+
+  test("grid-quantized doc vectors track Word2VecModel.transform within 6dp") {
+    // the relational grid spelling IS transform's averaging up to the
+    // 5e-10 quantization — parity pinned with a tolerance two orders
+    // above the grid and four below the export rounding
+    val m = Doc2Vec.fit(corpus, "doc_id", "tokens", dim = 8, seed = 7L)
+    val ours = Doc2Vec.docVectors(m, corpus, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val ref = m.transform(corpus).select(col("doc_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("docvec")).as("v"))
+      .collect().flatMap(r => r.getSeq[Double](1).zipWithIndex.map {
+        case (v, d) => (r.getLong(0), d) -> v })
+    assert(ref.nonEmpty && ref.size === ours.size)
+    ref.foreach { case (k, v) =>
+      assert(math.abs(ours(k) - v) <= 1e-6 + 1e-7,
+        s"doc/dim $k: grid ${ours(k)} vs transform $v")
+    }
   }
 
   test("shared-token documents embed closer than disjoint-token documents") {
