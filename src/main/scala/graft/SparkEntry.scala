@@ -660,6 +660,21 @@ object SparkEntry {
       graft.multimodal.Multimodal.extractVideoFrames(
         graft.multimodal.Multimodal.syntheticAvi(s, 300))),
 
+    // T2 scale path #2 — IVF ANN (next to q47's LSH): coarse quantizer =
+    // grid-rounded empirical centroids of the SAME shared kmeans
+    // clustering q40 exports, so the oracle replays the ENTIRE procedure
+    // from q40's export + the embeddings table: list assignment and probe
+    // routing in exact integer arithmetic, candidate rescore in per-row
+    // array-order cosine. Lists are data-adaptive where LSH's hyperplanes
+    // are data-oblivious — the recall/cost tradeoff a real corpus wants.
+    "q70_ann_ivf" -> ((s, dir) => {
+      val (model, emb) = kmeansFitted(s, dir)
+      val clusters = model.transform(emb)
+        .select(col("vec_id"), col("prediction").as("cluster"))
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 3), clusters,
+        "vec_id", "embedding", k = 5, nprobe = 3)
+    }),
+
     // SimHash near-dup — md5-portable 32-bit signature so DuckDB replays it;
     // maxHamming=3 < bands=4 makes the banded join pigeonhole-EXACT, i.e.
     // identical to the oracle's all-pairs scan (round-1 bug: radius 16 over
@@ -1692,6 +1707,52 @@ object SparkEntry {
                / (sqrt(list_dot_product(c.c_vec, c.c_vec))
                   * sqrt(list_dot_product(p.p_vec, p.p_vec))), 6) AS cos
            FROM c JOIN p ON c.bucket = p.bucket AND c.c_key <> p.p_key),
+         ranked AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY p_key
+             ORDER BY cos DESC, c_key ASC) AS INT) AS rk FROM cand)
+         SELECT p_key, c_key, cos, rk FROM ranked WHERE rk <= 5""",
+
+    // T2 scale path #2 — the ENTIRE IVF procedure replayed from q40's
+    // exported clustering + the embeddings table: grid-quantized centroid
+    // build (the q40 1e-4 grid; floor(Σvq/cnt + 0.5) per dim), exact
+    // integer squared distance of every vector to every list centroid,
+    // argmin list assignment (tie → lower list), nprobe=3 probe routing by
+    // the same distances, then exact cosine rescore of the routed
+    // candidates. Only the final cosine runs in floats (the q27 pattern).
+    "q70_ann_ivf" ->
+      """WITH asg AS (SELECT vec_id, cluster
+                      FROM read_parquet('__VERIFY_OUT__/q40_kmeans/*.parquet')),
+         pts AS (SELECT a.vec_id, a.cluster, d.d AS dim,
+                   CAST(floor(e.embedding[d.d]::DOUBLE * 10000.0 + 0.5)
+                     AS BIGINT) AS vq
+                 FROM asg a JOIN embeddings e USING (vec_id),
+                      generate_series(1, 64) d(d)),
+         cent AS (SELECT cluster AS list, dim,
+                    CAST(floor(CAST(sum(vq) AS DOUBLE) / count(*) + 0.5)
+                      AS BIGINT) AS c4
+                  FROM pts GROUP BY 1, 2),
+         d2 AS (SELECT p.vec_id, c.list,
+                  CAST(sum((p.vq - c.c4) * (p.vq - c.c4)) AS BIGINT) AS d2
+                FROM pts p JOIN cent c USING (dim) GROUP BY 1, 2),
+         assigned AS (
+           SELECT vec_id, list FROM (
+             SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id
+               ORDER BY d2 ASC, list ASC) AS rn FROM d2) WHERE rn = 1),
+         routing AS (
+           SELECT vec_id AS p_key, list FROM (
+             SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id
+               ORDER BY d2 ASC, list ASC) AS pr FROM d2 WHERE vec_id < 3)
+           WHERE pr <= 3),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cand AS (
+           SELECT r.p_key, a.vec_id AS c_key,
+             round(list_dot_product(c.e, p.e)
+               / (sqrt(list_dot_product(c.e, c.e))
+                  * sqrt(list_dot_product(p.e, p.e))), 6) AS cos
+           FROM assigned a JOIN routing r USING (list)
+           JOIN v c ON c.vec_id = a.vec_id
+           JOIN v p ON p.vec_id = r.p_key
+           WHERE a.vec_id <> r.p_key),
          ranked AS (
            SELECT *, CAST(row_number() OVER (PARTITION BY p_key
              ORDER BY cos DESC, c_key ASC) AS INT) AS rk FROM cand)

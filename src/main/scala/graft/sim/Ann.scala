@@ -125,4 +125,69 @@ object Ann {
       .filter(col("rk") <= k)
       .select(col("p_key"), col("c_key"), col("cos"), col("rk"))
   }
+
+  /** IVF (inverted-file) ANN top-k — the data-adaptive scale path next to
+    * [[lshTopK]]'s data-oblivious one: a coarse quantizer partitions the
+    * corpus into `nlist` inverted lists; each probe visits only its
+    * `nprobe` nearest lists and rescores those candidates exactly.
+    *
+    * The coarse quantizer is the GRID-ROUNDED EMPIRICAL CENTROID of a
+    * provided clustering (`clusters`: (key, cluster)): components snap to
+    * the 1e-4 integer grid, the centroid is floor(Σvq/cnt + 0.5) per dim,
+    * and every centroid distance is Σ(vq − c4)² — exact integer
+    * arithmetic end to end, so list assignment and probe routing are
+    * bit-replayable cross-engine (the q40 grid discipline; ties break on
+    * the lower list id). Only the final rescore runs in floats: cosine of
+    * the ORIGINAL vectors, per-row array-order accumulation (no group
+    * summation), rounded 6dp.
+    *
+    * Scale shape: centroid build = one partial-agg shuffle of grid longs
+    * on (cluster, dim); list assignment = broadcast of the nlist×dim
+    * centroid table, map-side argmin (NO corpus shuffle); candidate
+    * selection = broadcast of the probes' (p_key, list) routing table
+    * against the corpus's list column (NO corpus shuffle); the only
+    * corpus-sized exchange is the per-probe top-k window over candidates
+    * — an nprobe/nlist fraction of the corpus per probe. At 10^12 rows,
+    * nlist grows ~√n and the assignment cost n·nlist·d stays the standard
+    * IVF build price, embarrassingly parallel. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, clusters: DataFrame,
+              key: String, vec: String, k: Int, nprobe: Int = 3): DataFrame = {
+    val pts = corpus.select(col(key).as("c_key"), col(vec).as("c_vec"))
+      .join(clusters.select(col(key).as("c_key"), col("cluster")), "c_key")
+      .select(col("c_key"), col("cluster"),
+        posexplode(col("c_vec")).as(Seq("dim", "v")))
+      .withColumn("vq",
+        floor(col("v").cast("double") * lit(1e4) + lit(0.5)).cast("long"))
+    val cent = pts.groupBy("cluster", "dim")
+      .agg(floor(sum("vq").cast("double") / count(lit(1)) + lit(0.5))
+        .cast("long").as("c4"))
+      .select(col("cluster").as("list"), col("dim"), col("c4"))
+    // exact integer distance of every vector to every list centroid
+    val d2 = pts.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("c_key"), col("list"))
+      .agg(sum((col("vq") - col("c4")) * (col("vq") - col("c4"))).as("d2"))
+    // list assignment: map-side argmin via an aggregatable struct-min
+    val assigned = d2.groupBy("c_key")
+      .agg(min(struct(col("d2"), col("list"))).as("m"))
+      .select(col("c_key"), col("m.list").as("list"))
+    val probeKeys = probes.select(col(key).as("p_key"), col(vec).as("p_vec"))
+    val wProbe = Window.partitionBy(col("p_key"))
+      .orderBy(col("d2").asc, col("list").asc)
+    val routing = d2.join(probeKeys.select(col("p_key").as("c_key")), "c_key")
+      .withColumnRenamed("c_key", "p_key")
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("p_key"), col("list"))
+    val cand = corpus.select(col(key).as("c_key"), col(vec).as("c_vec"))
+      .join(assigned, "c_key")
+      .join(broadcast(routing), Seq("list"))
+      .join(broadcast(probeKeys), Seq("p_key"))
+      .filter(col("c_key") =!= col("p_key"))
+      .withColumn("cos", round(cosine(col("c_vec"), col("p_vec")), 6))
+    val w = Window.partitionBy(col("p_key"))
+      .orderBy(col("cos").desc, col("c_key").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("p_key"), col("c_key"), col("cos"), col("rk"))
+  }
 }

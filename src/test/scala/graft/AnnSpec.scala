@@ -152,4 +152,37 @@ class AnnSpec extends AnyFunSuite {
       .count()
     assert(kept === 0) // only degenerate pairs exist here
   }
+
+  test("ivf with nprobe = nlist degenerates to exact brute force") {
+    // probing EVERY list makes the candidate set the whole corpus, so the
+    // rescore must reproduce bruteTopK bit-for-bit (same 6dp rounding,
+    // same key-asc tie-break) — pins routing/assignment plumbing loss-free
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val clusters = emb.select(col("vec_id"), (col("vec_id") % 4).as("cluster"))
+    val probes = emb.filter(col("vec_id") < 3)
+    val brute = Ann.bruteTopK(emb, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ivf = Ann.ivfTopK(emb, probes, clusters, "vec_id", "embedding",
+        k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(ivf === brute)
+  }
+
+  test("ivf with nprobe < nlist returns a subset no better than brute") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val clusters = emb.select(col("vec_id"), (col("vec_id") % 8).as("cluster"))
+    val probes = emb.filter(col("vec_id") < 3)
+    val bruteTop = Ann.bruteTopK(emb, probes, "vec_id", "embedding", 5)
+      .filter(col("rk") === 1)
+      .select("p_key", "cos").as[(Long, Double)].collect().toMap
+    val ivf = Ann.ivfTopK(emb, probes, clusters, "vec_id", "embedding",
+      k = 5, nprobe = 2)
+    assert(ivf.count() <= 15) // ≤ 3 probes × k
+    // the probe's own list is always among its nprobe nearest, so its
+    // co-list neighbours are candidates — per-probe results are non-empty
+    assert(ivf.select("p_key").distinct().count() === 3)
+    ivf.filter(col("rk") === 1).select("p_key", "cos")
+      .as[(Long, Double)].collect()
+      .foreach { case (p, c) => assert(c <= bruteTop(p) + 1e-9) }
+  }
 }
