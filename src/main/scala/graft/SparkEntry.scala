@@ -675,6 +675,17 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nprobe = 3)
     }),
 
+    // REAL resize under the gate: the payload itself is rewritten (ImageIO
+    // decode → exact integer nearest-neighbor sx=⌊x·sw/w⌋ → 24-bit BMP
+    // re-encode), then decoded AGAIN by the same guarded reader — a green
+    // row proves the whole decode→transform→encode→decode loop, positions
+    // included (the q63 weighted sum). 6×4 straddles the corpus dims
+    // (w 4–7, h 3–5): axes upscale and downscale in the same sweep.
+    "q71_resize_decode" -> ((s, dir) =>
+      graft.multimodal.Multimodal.extractImageFeatures(
+        graft.multimodal.Multimodal.resize(
+          graft.multimodal.Multimodal.syntheticBmp(s, 300), 6, 4))),
+
     // SimHash near-dup — md5-portable 32-bit signature so DuckDB replays it;
     // maxHamming=3 < bands=4 makes the banded join pigeonhole-EXACT, i.e.
     // identical to the oracle's all-pairs scan (round-1 bug: radius 16 over
@@ -1639,6 +1650,34 @@ object SparkEntry {
            CAST((t.s * 7 + f.f * 13) % 8 AS INT) AS level
          FROM generate_series(0, 299) t(s)
          JOIN generate_series(0, 6) f(f) ON f.f < 3 + t.s % 4""",
+
+    // q71 — the resize loop replayed: every 6×4 output pixel is source
+    // pixel (sx, sy) = (⌊x·sw/6⌋, ⌊y·sh/4⌋) of the q63 arithmetic image,
+    // then the q63 stats over the RESIZED raster (ppm floor-div by 24,
+    // weighted sum with w=6). A green row proves decode, the integer
+    // resample map, the BMP re-encode, and the second decode all agree.
+    "q71_resize_decode" ->
+      """WITH src AS (
+           SELECT CAST(s AS BIGINT) AS media_id, x.x AS x, y.y AS y,
+             (x.x * (4 + s % 4)) // 6 AS sx, (y.y * (3 + s % 3)) // 4 AS sy
+           FROM generate_series(0, 299) t(s)
+           CROSS JOIN generate_series(0, 5) x(x)
+           CROSS JOIN generate_series(0, 3) y(y)),
+         agg AS (
+           SELECT media_id,
+             sum((media_id * 31 + sy * 17 + sx * 7) % 251) AS sr,
+             sum((media_id * 13 + sy * 11 + sx * 5) % 251) AS sg,
+             sum((media_id * 29 + sy * 23 + sx * 3) % 251) AS sb,
+             sum(((media_id * 31 + sy * 17 + sx * 7) % 251)
+                 * (y * 6 + x + 1)) AS wr
+           FROM src GROUP BY 1)
+         SELECT media_id, TRUE AS decoded,
+           CAST(6 AS INT) AS width, CAST(4 AS INT) AS height,
+           CAST(sr * 1000000 // 24 AS BIGINT) AS r_ppm,
+           CAST(sg * 1000000 // 24 AS BIGINT) AS g_ppm,
+           CAST(sb * 1000000 // 24 AS BIGINT) AS b_ppm,
+           CAST(wr AS BIGINT) AS r_wsum
+         FROM agg""",
 
     "q38_frame_sample" ->
       """WITH v AS (

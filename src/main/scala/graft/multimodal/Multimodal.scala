@@ -176,7 +176,31 @@ object Multimodal {
     * bytes → None (quarantine semantics — dimensions are checked from the
     * HEADER, before raster allocation, so a bomb cannot OOM the task). */
   def decodeImage(payload: Array[Byte])
-      : Option[(Int, Int, Long, Long, Long, Long)] = {
+      : Option[(Int, Int, Long, Long, Long, Long)] =
+    readImage(payload).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L; var wsum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val px = img.getRGB(x, y) // ARGB, top-down
+          val r = (px >> 16) & 0xFF; val g = (px >> 8) & 0xFF; val b = px & 0xFF
+          sr += r; sg += g; sb += b
+          wsum += r.toLong * (y.toLong * w + x + 1)
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      (w, h, sr * 1000000L / n, sg * 1000000L / n, sb * 1000000L / n, wsum)
+    }
+
+  /** The guarded ImageIO read shared by [[decodeImage]] and [[resize]]:
+    * header-first dimension budget (a bomb cannot OOM the task — rejected
+    * BEFORE raster allocation), stream/reader closed on every path. */
+  private def readImage(payload: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = {
     if (payload == null || payload.isEmpty) return None
     try {
       // iis closed in try/finally INCLUDING the no-reader early return:
@@ -194,23 +218,7 @@ object Multimodal {
           reader.setInput(iis)
           val w = reader.getWidth(0); val h = reader.getHeight(0)
           if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return None
-          val img = reader.read(0)
-          var sr = 0L; var sg = 0L; var sb = 0L; var wsum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val px = img.getRGB(x, y) // ARGB, top-down
-              val r = (px >> 16) & 0xFF; val g = (px >> 8) & 0xFF; val b = px & 0xFF
-              sr += r; sg += g; sb += b
-              wsum += r.toLong * (y.toLong * w + x + 1)
-              x += 1
-            }
-            y += 1
-          }
-          val n = w.toLong * h
-          Some((w, h, sr * 1000000L / n, sg * 1000000L / n, sb * 1000000L / n,
-            wsum))
+          Some(reader.read(0))
         } finally reader.dispose()
       } finally iis.close()
     } catch {
@@ -219,6 +227,63 @@ object Multimodal {
       // finding); genuine Errors (OOM) still propagate — the dimension
       // budget above is what prevents them for bomb inputs.
       case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** A genuine 24-bit BI_RGB BMP from a row-major TOP-DOWN ARGB raster —
+    * the [[bmpBytes]] layout (bottom-up BGR rows, 4-byte padding)
+    * generalized to arbitrary pixels; [[resize]]'s re-encode side. */
+  def encodeBmp24(w: Int, h: Int, argb: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && argb.length == w * h,
+      s"encodeBmp24: ${w}x$h needs ${w * h} pixels, got ${argb.length}")
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val imageSize = (rowBytes + pad) * h
+    val fileSize = 54 + imageSize
+    val out = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54)
+    out.putInt(40).putInt(w).putInt(h) // positive height = bottom-up
+      .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+      .putInt(imageSize).putInt(0).putInt(0).putInt(0).putInt(0)
+    var y = h - 1
+    while (y >= 0) { // bottom-up row order
+      var x = 0
+      while (x < w) {
+        val px = argb(y * w + x)
+        out.put((px & 0xFF).toByte).put(((px >> 8) & 0xFF).toByte)
+          .put(((px >> 16) & 0xFF).toByte)
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { out.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    out.array()
+  }
+
+  /** Per-payload resize kernel: guarded decode → nearest-neighbor
+    * resample on the exact integer map sx = ⌊x·sw/w⌋, sy = ⌊y·sh/h⌋ (no
+    * float filtering, so every output pixel is a replayable source
+    * pixel) → 24-bit BMP re-encode. None = quarantine (undecodable). */
+  def resizeImagePayload(payload: Array[Byte], dstW: Int, dstH: Int)
+      : Option[Array[Byte]] = {
+    require(dstW > 0 && dstH > 0, s"resize to ${dstW}x$dstH")
+    readImage(payload).map { img =>
+      val sw = img.getWidth; val sh = img.getHeight
+      val out = new Array[Int](dstW * dstH)
+      var y = 0
+      while (y < dstH) {
+        val sy = y * sh / dstH
+        var x = 0
+        while (x < dstW) {
+          out(y * dstW + x) = img.getRGB(x * sw / dstW, sy)
+          x += 1
+        }
+        y += 1
+      }
+      encodeBmp24(dstW, dstH, out)
     }
   }
 
@@ -513,12 +578,28 @@ object Multimodal {
       .toDF("media_id", "decoded", "frame_idx", "width", "height", "level")
   }
 
-  /** Resize stage stub: metadata transform only (a real impl rewrites the
-    * payload); demonstrates typed struct surgery without exploding rows. */
-  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
-    media.withColumn("meta", struct(
-      col("meta.kind").as("kind"), lit(w).as("width"), lit(h).as("height"),
-      col("meta.durationMs").as("durationMs"), col("meta.codec").as("codec")))
+  /** REAL resize stage — the payload itself is rewritten (decode →
+    * integer nearest-neighbor resample → 24-bit BMP re-encode), not just
+    * the metadata (the round-4 stub). mapPartitions batch shape (decoder
+    * init point); undecodable payloads pass through byte-untouched with
+    * resized=false — quarantine, never dropped. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("meta"))
+      .as[(Long, Array[Byte], MediaMeta)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, meta) =>
+          resizeImagePayload(bytes, w, h) match {
+            case Some(resized) =>
+              (id, resized, meta.copy(width = w, height = h, codec = "bmp"),
+                true)
+            case None => (id, bytes, meta, false) // byte-untouched quarantine
+          }
+        }
+      }
+      .toDF("media_id", "payload", "meta", "resized")
+  }
 
   /** Frame-sample stage: every video row explodes into ceil(duration/stepMs)
     * frame rows keyed (media_id, frame_idx) — the row-explosion shape a real
