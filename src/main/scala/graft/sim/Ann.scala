@@ -141,45 +141,73 @@ object Ann {
     * the ORIGINAL vectors, per-row array-order accumulation (no group
     * summation), rounded 6dp.
     *
-    * Scale shape: centroid build = one partial-agg shuffle of grid longs
-    * on (cluster, dim); list assignment = broadcast of the nlist×dim
-    * centroid table, map-side argmin (NO corpus shuffle); candidate
-    * selection = broadcast of the probes' (p_key, list) routing table
-    * against the corpus's list column (NO corpus shuffle); the only
-    * corpus-sized exchange is the per-probe top-k window over candidates
-    * — an nprobe/nlist fraction of the corpus per probe. At 10^12 rows,
-    * nlist grows ~√n and the assignment cost n·nlist·d stays the standard
-    * IVF build price, embarrassingly parallel. */
+    * `clusters` only seeds the quantizer (standard IVF: the coarse
+    * quantizer may be trained on a sample); EVERY corpus row is then
+    * assigned to its nearest list, clustered or not.
+    *
+    * Scale shape — the corpus path is shuffle-free: list assignment =
+    * ONE broadcast row carrying the packed centroid matrix, argmin
+    * computed inside the scan projection with array HOFs (zero corpus
+    * exchanges — the first spelling shuffled corpus×nlist rows TWICE);
+    * probe routing = the same broadcast against the (tiny) probe set;
+    * candidate selection = broadcast of the (p_key, list) routing table
+    * against the corpus's computed list column. The only candidate-sized
+    * exchange left is the per-probe top-k window — an nprobe/nlist
+    * fraction of the corpus per probe. The quantizer build (key-join with
+    * `clusters`, posexplode, partial agg down to nlist×dim grid longs)
+    * shuffles only the CLUSTERED SAMPLE — corpus-sized solely when the
+    * provided clustering covers the full corpus, and re-evaluated per
+    * consumer (assignment + routing); at scale, train the quantizer on a
+    * sample and/or persist the (tiny) centroid frame. At 10^12 rows,
+    * nlist grows ~√n and the n·nlist·d assignment cost stays the
+    * standard IVF build price, embarrassingly parallel. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, clusters: DataFrame,
               key: String, vec: String, k: Int, nprobe: Int = 3): DataFrame = {
+    val quant: Column => Column =
+      v => floor(v.cast("double") * lit(1e4) + lit(0.5)).cast("long")
     val pts = corpus.select(col(key).as("c_key"), col(vec).as("c_vec"))
       .join(clusters.select(col(key).as("c_key"), col("cluster")), "c_key")
-      .select(col("c_key"), col("cluster"),
-        posexplode(col("c_vec")).as(Seq("dim", "v")))
-      .withColumn("vq",
-        floor(col("v").cast("double") * lit(1e4) + lit(0.5)).cast("long"))
+      .select(col("cluster"), posexplode(col("c_vec")).as(Seq("dim", "v")))
+      .withColumn("vq", quant(col("v")))
     val cent = pts.groupBy("cluster", "dim")
       .agg(floor(sum("vq").cast("double") / count(lit(1)) + lit(0.5))
         .cast("long").as("c4"))
-      .select(col("cluster").as("list"), col("dim"), col("c4"))
-    // exact integer distance of every vector to every list centroid
-    val d2 = pts.join(broadcast(cent), Seq("dim"))
-      .groupBy(col("c_key"), col("list"))
-      .agg(sum((col("vq") - col("c4")) * (col("vq") - col("c4"))).as("d2"))
-    // list assignment: map-side argmin via an aggregatable struct-min
-    val assigned = d2.groupBy("c_key")
-      .agg(min(struct(col("d2"), col("list"))).as("m"))
-      .select(col("c_key"), col("m.list").as("list"))
+    // the whole quantizer as ONE broadcastable row: per list, dims packed
+    // into an ordered array; lists ordered asc so the argmin fold below
+    // resolves distance ties to the LOWER list id by construction
+    val centRow = cent.groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c4")))),
+        s => s.getField("c4")).as("carr"))
+      .agg(array_sort(collect_list(struct(col("cluster").cast("int")
+        .as("list"), col("carr")))).as("cents"))
+    // exact integer d2 to one packed centroid — evaluated per row, in-scan
+    def d2To(vq: Column, carr: Column): Column =
+      aggregate(zip_with(vq, carr, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    // map-side argmin: fold over the centroid array inside the projection
+    val assigned = corpus.select(col(key).as("c_key"), col(vec).as("c_vec"))
+      .crossJoin(broadcast(centRow))
+      .withColumn("vq", transform(col("c_vec"), quant))
+      .withColumn("list", aggregate(
+        col("cents"),
+        struct(lit(Long.MaxValue).as("d2"), lit(-1).as("list")),
+        (acc, c) => {
+          val d2 = d2To(col("vq"), c.getField("carr"))
+          when(d2 < acc.getField("d2"),
+            struct(d2.as("d2"), c.getField("list").as("list"))).otherwise(acc)
+        }).getField("list"))
+      .select(col("c_key"), col("c_vec"), col("list"))
+    // probe routing: nprobe nearest lists via an in-row sort of the (tiny)
+    // per-list distance array — (d2 asc, list asc), the same tie rule
     val probeKeys = probes.select(col(key).as("p_key"), col(vec).as("p_vec"))
-    val wProbe = Window.partitionBy(col("p_key"))
-      .orderBy(col("d2").asc, col("list").asc)
-    val routing = d2.join(probeKeys.select(col("p_key").as("c_key")), "c_key")
-      .withColumnRenamed("c_key", "p_key")
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select(col("p_key"), col("list"))
-    val cand = corpus.select(col(key).as("c_key"), col(vec).as("c_vec"))
-      .join(assigned, "c_key")
+    val routing = probeKeys.crossJoin(broadcast(centRow))
+      .withColumn("vq", transform(col("p_vec"), quant))
+      .select(col("p_key"), explode(slice(array_sort(
+        transform(col("cents"), c => struct(
+          d2To(col("vq"), c.getField("carr")).as("d2"),
+          c.getField("list").as("list")))), 1, nprobe)).as("r"))
+      .select(col("p_key"), col("r.list").as("list"))
+    val cand = assigned
       .join(broadcast(routing), Seq("list"))
       .join(broadcast(probeKeys), Seq("p_key"))
       .filter(col("c_key") =!= col("p_key"))
