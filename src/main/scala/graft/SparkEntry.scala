@@ -686,6 +686,25 @@ object SparkEntry {
         graft.multimodal.Multimodal.resize(
           graft.multimodal.Multimodal.syntheticBmp(s, 300), 6, 4))),
 
+    // ANN recall@k — the quality metric a deployment tunes nprobe/bits
+    // against: per probe, the fraction of the EXACT top-k (q27) that each
+    // approximate path (q70 IVF, q47 LSH) recovered, in integer ppm (hits
+    // · 10^6 DIV k — no float division, both engines exact). Composes the
+    // three gated queries; the oracle replays it from their own exports.
+    "q72_ann_recall" -> ((s, dir) => {
+      val brute = queries("q27_ann_topk")(s, dir)
+      def recallOf(method: String, approx: DataFrame): DataFrame =
+        brute.as("b").join(approx.as("i"),
+          col("b.p_key") === col("i.p_key") &&
+            col("b.c_key") === col("i.c_key"), "left_outer")
+          .groupBy(col("b.p_key").as("p_key"))
+          .agg(expr("CAST(sum(CASE WHEN i.c_key IS NOT NULL THEN 1 ELSE 0 END)" +
+            " * 1000000 DIV count(*) AS BIGINT)").as("recall_ppm"))
+          .select(lit(method).as("method"), col("p_key"), col("recall_ppm"))
+      recallOf("ivf", queries("q70_ann_ivf")(s, dir))
+        .unionAll(recallOf("lsh", queries("q47_ann_lsh")(s, dir)))
+    }),
+
     // SimHash near-dup — md5-portable 32-bit signature so DuckDB replays it;
     // maxHamming=3 < bands=4 makes the banded join pigeonhole-EXACT, i.e.
     // identical to the oracle's all-pairs scan (round-1 bug: radius 16 over
@@ -1678,6 +1697,27 @@ object SparkEntry {
            CAST(sb * 1000000 // 24 AS BIGINT) AS b_ppm,
            CAST(wr AS BIGINT) AS r_wsum
          FROM agg""",
+
+    // q72 — recall replayed from the three ANN exports themselves: per
+    // probe, |approx ∩ exact| · 10^6 DIV k, integer end to end.
+    "q72_ann_recall" ->
+      """WITH b AS (SELECT p_key, c_key
+                    FROM read_parquet('__VERIFY_OUT__/q27_ann_topk/*.parquet')),
+         iv AS (SELECT p_key, c_key
+                FROM read_parquet('__VERIFY_OUT__/q70_ann_ivf/*.parquet')),
+         ls AS (SELECT p_key, c_key
+                FROM read_parquet('__VERIFY_OUT__/q47_ann_lsh/*.parquet'))
+         SELECT 'ivf' AS method, b.p_key,
+           CAST(sum(CASE WHEN iv.c_key IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS recall_ppm
+         FROM b LEFT JOIN iv ON iv.p_key = b.p_key AND iv.c_key = b.c_key
+         GROUP BY 2
+         UNION ALL
+         SELECT 'lsh' AS method, b.p_key,
+           CAST(sum(CASE WHEN ls.c_key IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS recall_ppm
+         FROM b LEFT JOIN ls ON ls.p_key = b.p_key AND ls.c_key = b.c_key
+         GROUP BY 2""",
 
     "q38_frame_sample" ->
       """WITH v AS (
