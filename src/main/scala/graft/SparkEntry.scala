@@ -705,6 +705,28 @@ object SparkEntry {
         .unionAll(recallOf("lsh", queries("q47_ann_lsh")(s, dir)))
     }),
 
+    // The IVF nprobe→recall curve — the tradeoff a deployment tunes: mean
+    // recall ppm across probes at nprobe ∈ {1, 3, 5} (visiting 10%, 30%,
+    // 50% of a 10-list corpus). Monotone by construction (routed lists
+    // are nested); the oracle replays every point from q40's export.
+    "q73_ivf_nprobe_curve" -> ((s, dir) => {
+      val (model, emb) = kmeansFitted(s, dir)
+      val clusters = model.transform(emb)
+        .select(col("vec_id"), col("prediction").as("cluster"))
+      val probes = emb.filter(col("vec_id") < 3)
+      val brute = Ann.bruteTopK(emb, probes, "vec_id", "embedding", 5)
+      Seq(1, 3, 5).map { np =>
+        val ivf = Ann.ivfTopK(emb, probes, clusters, "vec_id", "embedding",
+          k = 5, nprobe = np)
+        brute.as("b").join(ivf.as("i"),
+          col("b.p_key") === col("i.p_key") &&
+            col("b.c_key") === col("i.c_key"), "left_outer")
+          .agg(expr("CAST(sum(CASE WHEN i.c_key IS NOT NULL THEN 1 ELSE 0 END)" +
+            " * 1000000 DIV count(*) AS BIGINT)").as("mean_recall_ppm"))
+          .select(lit(np).as("nprobe"), col("mean_recall_ppm"))
+      }.reduce(_ unionAll _)
+    }),
+
     // SimHash near-dup — md5-portable 32-bit signature so DuckDB replays it;
     // maxHamming=3 < bands=4 makes the banded join pigeonhole-EXACT, i.e.
     // identical to the oracle's all-pairs scan (round-1 bug: radius 16 over
@@ -1718,6 +1740,58 @@ object SparkEntry {
                 * 1000000 // count(*) AS BIGINT) AS recall_ppm
          FROM b LEFT JOIN ls ON ls.p_key = b.p_key AND ls.c_key = b.c_key
          GROUP BY 2""",
+
+    // q73 — the q70 IVF replay parametrized by nprobe ∈ {1,3,5}: same
+    // centroid/assignment/routing arithmetic from q40's export, candidate
+    // top-5 per (nprobe, probe), recall vs q27's exact export, integer ppm.
+    "q73_ivf_nprobe_curve" ->
+      """WITH asg AS (SELECT vec_id, cluster
+                      FROM read_parquet('__VERIFY_OUT__/q40_kmeans/*.parquet')),
+         pts AS (SELECT a.vec_id, a.cluster, d.d AS dim,
+                   CAST(floor(e.embedding[d.d]::DOUBLE * 10000.0 + 0.5)
+                     AS BIGINT) AS vq
+                 FROM asg a JOIN embeddings e USING (vec_id),
+                      generate_series(1, 64) d(d)),
+         cent AS (SELECT cluster AS list, dim,
+                    CAST(floor(CAST(sum(vq) AS DOUBLE) / count(*) + 0.5)
+                      AS BIGINT) AS c4
+                  FROM pts GROUP BY 1, 2),
+         d2 AS (SELECT p.vec_id, c.list,
+                  CAST(sum((p.vq - c.c4) * (p.vq - c.c4)) AS BIGINT) AS d2
+                FROM pts p JOIN cent c USING (dim) GROUP BY 1, 2),
+         assigned AS (
+           SELECT vec_id, list FROM (
+             SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id
+               ORDER BY d2 ASC, list ASC) AS rn FROM d2) WHERE rn = 1),
+         np AS (SELECT unnest([1, 3, 5]) AS nprobe),
+         routing AS (
+           SELECT n.nprobe, d.vec_id AS p_key, d.list FROM (
+             SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id
+               ORDER BY d2 ASC, list ASC) AS pr FROM d2 WHERE vec_id < 3) d
+           JOIN np n ON d.pr <= n.nprobe),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cand AS (
+           SELECT r.nprobe, r.p_key, a.vec_id AS c_key,
+             round(list_dot_product(c.e, p.e)
+               / (sqrt(list_dot_product(c.e, c.e))
+                  * sqrt(list_dot_product(p.e, p.e))), 6) AS cos
+           FROM assigned a JOIN routing r USING (list)
+           JOIN v c ON c.vec_id = a.vec_id
+           JOIN v p ON p.vec_id = r.p_key
+           WHERE a.vec_id <> r.p_key),
+         ivf AS (
+           SELECT nprobe, p_key, c_key FROM (
+             SELECT *, row_number() OVER (PARTITION BY nprobe, p_key
+               ORDER BY cos DESC, c_key ASC) AS rk FROM cand) WHERE rk <= 5),
+         b AS (SELECT p_key, c_key
+               FROM read_parquet('__VERIFY_OUT__/q27_ann_topk/*.parquet')),
+         bn AS (SELECT n.nprobe, b.p_key, b.c_key FROM b CROSS JOIN np n)
+         SELECT CAST(bn.nprobe AS INT) AS nprobe,
+           CAST(sum(CASE WHEN i.c_key IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS mean_recall_ppm
+         FROM bn LEFT JOIN ivf i ON i.nprobe = bn.nprobe
+           AND i.p_key = bn.p_key AND i.c_key = bn.c_key
+         GROUP BY 1""",
 
     "q38_frame_sample" ->
       """WITH v AS (
