@@ -110,6 +110,22 @@ object Bench {
     val eff28Med = tp8 / (4.0 * tp2)
     val eff832Best = b32 / (4.0 * b8)
     val eff232Best = b32 / (16.0 * b2)
+    // Reported ALONGSIDE, never substituted for the primary: 2→8 with both
+    // bests taken from the SAME interleaved round. Cross-round bests assume
+    // noise hits every level equally over the whole run, but sustained
+    // neighbor load is thread-ASYMMETRIC on this box — a 2-thread run is
+    // nearly immune (30 idle cores to dodge into, plus frequency headroom)
+    // while an 8-thread run loses real cores — so a noisy tail can inflate
+    // the cross-round local[2] best and bias the ratio low (measured
+    // 2026-08-17: per-round effs 0.93/0.72/0.51/… in a run whose later
+    // rounds halved local[8] while local[2] kept climbing). Same-round
+    // pairing controls for window drift, which is exactly what the
+    // interleaving exists for.
+    val effSameRound = (0 until rounds).map { r =>
+      val l2 = samples(2).slice(r * runsPerLevel(2), (r + 1) * runsPerLevel(2))
+      val l8 = samples(8).slice(r * runsPerLevel(8), (r + 1) * runsPerLevel(8))
+      l8.max / (4.0 * l2.max)
+    }
 
     // ---- per-query timings at the driver-given parallelism
     val spark = session(cpus)
@@ -161,6 +177,7 @@ object Bench {
          |"samples_local2":${arr(samples(2))},
          |"samples_local8":${arr(samples(8))},
          |"samples_local32":${arr(samples(32))},
+         |"eff_2_to_8_per_round":${effSameRound.map(r3).mkString("[", ",", "]")},
          |"query_stat":"best of 2 timed passes after one untimed warmup pass",
          |"queries":$qs,
          |"bench_turns":$nTurns}""".stripMargin
@@ -183,6 +200,7 @@ object Bench {
       s""""scaling_efficiency":${r3(eff28Best)},""" +
       s""""scaling_efficiency_n2_to_n8":${r3(eff28Best)},""" +
       s""""scaling_efficiency_n2_to_n8_median":${r3(eff28Med)},""" +
+      s""""scaling_efficiency_n2_to_n8_same_round_best":${r3(effSameRound.max)},""" +
       s""""scaling_efficiency_n8_to_n32":${r3(eff832Best)},""" +
       s""""scaling_efficiency_n2_to_n32":${r3(eff232Best)},""" +
       s""""bench_turns":$nTurns,"samples_file":"$auditPath",""" +
