@@ -603,7 +603,8 @@ object Multimodal {
 
   /** Frame-sample stage: every video row explodes into ceil(duration/stepMs)
     * frame rows keyed (media_id, frame_idx) — the row-explosion shape a real
-    * frame sampler needs; frame payload is the stubbed decode output.
+    * frame sampler needs (the REAL per-frame decode lives in
+    * [[extractVideoFrames]]; this stage is the timestamp-grid planner).
     * Zero/unknown-duration videos (every row fromBinaryFiles emits until
     * decode fills durations) produce ZERO frames per the contract — the old
     * greatest(…, 0) floor emitted one spurious frame each (round-3 review

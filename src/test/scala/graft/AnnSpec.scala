@@ -168,6 +168,24 @@ class AnnSpec extends AnyFunSuite {
     assert(ivf === brute)
   }
 
+  test("ivf assigns every corpus row even when the quantizer is sample-trained") {
+    // standard IVF: the coarse quantizer may be trained on a sample;
+    // unclustered corpus rows still get a list and remain findable
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sampleClusters = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), (col("vec_id") % 4).as("cluster"))
+    val probes = emb.filter(col("vec_id") < 3)
+    val ivf = Ann.ivfTopK(emb, probes, sampleClusters, "vec_id", "embedding",
+      k = 5, nprobe = 4) // all lists probed → candidates = whole corpus
+    val brute = Ann.bruteTopK(emb, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val got = ivf.collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // probing every list still reproduces brute — odd (unclustered) ids
+    // included, proving assignment covers rows the quantizer never saw
+    assert(got === brute)
+    assert(brute.values.exists(_ % 2 === 1))
+  }
+
   test("ivf with nprobe < nlist returns a subset no better than brute") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val clusters = emb.select(col("vec_id"), (col("vec_id") % 8).as("cluster"))
