@@ -705,6 +705,31 @@ object SparkEntry {
         .unionAll(recallOf("lsh", queries("q47_ann_lsh")(s, dir)))
     }),
 
+    // The corpus-curation capstone — the whole pretraining-data pass as
+    // ONE composed job: quality gate (integer-ppm score ≥ 650000) →
+    // exact dedup (md5 keeper) → MinHash near-dup prune (banded LSH
+    // candidates at est_jaccard ≥ 0.5; greedy-by-id: a doc drops when it
+    // pairs with ANY lower-id survivor, deterministic and replayable —
+    // transitive chains prune conservatively). Every stage is a gated
+    // operator (q20/q21/q45); the oracle replays the full composition.
+    "q74_curation" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        graft.textstats.TextStats.qualityScorePpm(col("text"),
+          graft.text.Normalize.DefaultStops).as("quality_ppm"))
+      val quality = scored.filter(col("quality_ppm") >= 650000L)
+      val keepers = graft.dedup.Dedup.exact(quality, "doc_id", "text")
+        .filter(col("keep")).select("doc_id")
+      val unique = quality.join(keepers, Seq("doc_id"), "left_semi")
+      val nearDropped = graft.dedup.Dedup.minhashLshMd5(
+          unique.select(col("doc_id"), split(col("text"), " ").as("tokens")),
+          "doc_id", "tokens", k = 3, numHashes = 16, bands = 4)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("key_b").as("doc_id")).distinct()
+      unique.join(nearDropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("quality_ppm"))
+    }),
+
     // The IVF nprobe→recall curve — the tradeoff a deployment tunes: mean
     // recall ppm across probes at nprobe ∈ {1, 3, 5} (visiting 10%, 30%,
     // 50% of a 10-list corpus). Monotone by construction (routed lists
@@ -1792,6 +1817,76 @@ object SparkEntry {
          FROM bn LEFT JOIN ivf i ON i.nprobe = bn.nprobe
            AND i.p_key = bn.p_key AND i.c_key = bn.c_key
          GROUP BY 1""",
+
+    // q74 — the full curation composition replayed: the q20 quality
+    // formula at the 650000 gate, the q21 md5 keeper over the qualified
+    // set, then the q45 minhash banding over the unique survivors with
+    // the drop rule slots ≥ 8 (est_jaccard ≥ 0.5 exactly — slots/16 is a
+    // 1/16 grid, so the integer compare cannot disagree with the float).
+    "q74_curation" ->
+      s"""WITH f AS (
+           SELECT doc_id, text,
+             greatest(length(text), 1) AS len,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+             list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0) AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, text, len, punct, digits,
+             greatest(len(toks), 1) AS nt,
+             len(list_filter(toks, tk -> list_contains($OracleStops, tk))) AS stop_hits
+           FROM f),
+         q AS (
+           SELECT doc_id, text,
+             greatest(0, least(1000000,
+               500000 + (least(nt, 64) * 300000) // 64
+                      + (stop_hits * 200000) // nt
+                      - (punct * 500000) // len
+                      - (digits * 500000) // len)) AS quality_ppm
+           FROM g),
+         qual AS (SELECT * FROM q WHERE quality_ppm >= 650000),
+         fp AS (
+           SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+           FROM qual),
+         keepers AS (SELECT fingerprint, min(doc_id) AS keeper FROM fp GROUP BY 1),
+         uniq AS (
+           SELECT q.doc_id, q.text, q.quality_ppm
+           FROM qual q JOIN fp ON fp.doc_id = q.doc_id
+           JOIN keepers k ON k.fingerprint = fp.fingerprint AND k.keeper = q.doc_id),
+         d AS (SELECT doc_id, string_split(text, ' ') AS w FROM uniq),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - 2, 1)),
+             i -> array_to_string(w[i:i+2], ' ')))) AS sh
+           FROM d),
+         h AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 8))::BIGINT % 2147483647 AS hv
+           FROM sh),
+         hi AS (SELECT unnest(generate_series(0, 15)) AS h_idx),
+         sig AS (
+           SELECT doc_id, h_idx,
+             min((hv * ((1000000007 * (h_idx + 1)) % 2147483647)
+                  + ((998244353 * (h_idx * h_idx + 1)) % 2147483647)) % 2147483647) AS mh
+           FROM h, hi GROUP BY 1, 2),
+         band AS (
+           SELECT doc_id, h_idx // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), ':' ORDER BY h_idx) AS bucket
+           FROM sig GROUP BY 1, 2),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         m AS (
+           SELECT p.key_a, p.key_b,
+             sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS slots
+           FROM pairs p
+           JOIN sig sa ON sa.doc_id = p.key_a
+           JOIN sig sb ON sb.doc_id = p.key_b AND sb.h_idx = sa.h_idx
+           GROUP BY 1, 2),
+         dropped AS (SELECT DISTINCT key_b AS doc_id FROM m WHERE slots >= 8)
+         SELECT u.doc_id, u.quality_ppm FROM uniq u
+         WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = u.doc_id)""",
 
     "q38_frame_sample" ->
       """WITH v AS (
