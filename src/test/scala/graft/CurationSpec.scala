@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q74's composition invariants — each stage is separately gated
+  * (q20/q21/q45); this pins how they compose. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run() = SparkEntry.queries("q74_curation")(spark, dir)
+
+  test("curation output is a quality-qualified subset with no duplicate text") {
+    val out = run().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    // every survivor clears the gate threshold
+    assert(out.values.forall(_ >= 650000L))
+    // survivors' quality matches the gated q20 computation exactly
+    val q20 = SparkEntry.queries("q20_quality")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, q) => assert(q20(id) === q) }
+    // no two survivors share a normalized-text fingerprint
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id").isin(out.keys.toSeq: _*))
+      .select(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+    assert(docs.count() === docs.distinct().count())
+  }
+
+  test("curation is deterministic across runs") {
+    val a = run().collect().map(_.toSeq).toSet
+    val b = run().collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
+  test("near-dup pruning only ever drops the higher id of a pair") {
+    // the minimum-id member of every fingerprint/near-dup group survives:
+    // the global minimum quality-qualified doc_id can never be dropped
+    val q20 = SparkEntry.queries("q20_quality")(spark, dir)
+      .filter(col("quality_ppm") >= 650000L)
+      .agg(min("doc_id")).head().getLong(0)
+    val out = run().select("doc_id").as[Long].collect().toSet
+    assert(out.contains(q20))
+  }
+}

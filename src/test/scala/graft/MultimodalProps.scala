@@ -1,0 +1,49 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tier for the multimodal codec kernels — invariants that must
+  * hold for ALL rasters, not just the arithmetic corpus. Pure functions,
+  * no Spark. */
+object MultimodalProps extends Properties("Multimodal") {
+
+  private val dim: Gen[Int] = Gen.choose(1, 17)
+  private val pixel: Gen[Int] = Gen.choose(0, 0xFFFFFF)
+
+  property("encodeBmp24 → ImageIO decode round-trips ANY raster exactly") =
+    forAll(dim, dim, Gen.long) { (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val px = Array.fill(w * h)(rnd.nextInt(0x1000000))
+      val bytes = Multimodal.encodeBmp24(w, h, px)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      img.getWidth == w && img.getHeight == h &&
+        (0 until h).forall(y => (0 until w).forall(x =>
+          (img.getRGB(x, y) & 0xFFFFFF) == px(y * w + x)))
+    }
+
+  property("resize kernel samples exactly the integer NN map for ANY dims") =
+    forAll(dim, dim, dim, dim, Gen.long) { (sw, sh, dw, dh, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val px = Array.fill(sw * sh)(rnd.nextInt(0x1000000))
+      val resized = Multimodal.resizeImagePayload(
+        Multimodal.encodeBmp24(sw, sh, px), dw, dh).get
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+      img.getWidth == dw && img.getHeight == dh &&
+        (0 until dh).forall(y => (0 until dw).forall { x =>
+          val expect = px((y * sh / dh) * sw + (x * sw / dw))
+          (img.getRGB(x, y) & 0xFFFFFF) == expect
+        })
+    }
+
+  property("identity resize is byte-for-byte idempotent") =
+    forAll(dim, dim, Gen.long) { (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val px = Array.fill(w * h)(rnd.nextInt(0x1000000))
+      val once = Multimodal.resizeImagePayload(
+        Multimodal.encodeBmp24(w, h, px), w, h).get
+      val twice = Multimodal.resizeImagePayload(once, w, h).get
+      java.util.Arrays.equals(once, twice)
+    }
+}
