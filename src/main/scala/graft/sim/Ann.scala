@@ -161,25 +161,44 @@ object Ann {
     * sample and/or persist the (tiny) centroid frame. At 10^12 rows,
     * nlist grows ~√n and the n·nlist·d assignment cost stays the
     * standard IVF build price, embarrassingly parallel. */
-  def ivfTopK(corpus: DataFrame, probes: DataFrame, clusters: DataFrame,
-              key: String, vec: String, k: Int, nprobe: Int = 3): DataFrame = {
-    val quant: Column => Column =
-      v => floor(v.cast("double") * lit(1e4) + lit(0.5)).cast("long")
-    val pts = corpus.select(col(key).as("c_key"), col(vec).as("c_vec"))
+  /** The grid quantization every IVF distance runs on (1e-4 grid). */
+  private def ivfQuant(v: Column): Column =
+    floor(v.cast("double") * lit(1e4) + lit(0.5)).cast("long")
+
+  /** Build the IVF coarse quantizer from a clustering of (a sample of)
+    * the corpus: ONE row packing the per-list, dim-ordered integer-grid
+    * centroid arrays, lists ascending so [[ivfTopKQuantized]]'s argmin
+    * fold resolves distance ties to the LOWER list id by construction.
+    * The quantizer is a MODEL artifact: at scale, build it once,
+    * `persist()` (or write) it, and feed it to every query — inlining it
+    * re-evaluates the build per consumer. */
+  def ivfQuantizer(clustered: DataFrame, key: String, vec: String,
+                   clusters: DataFrame): DataFrame = {
+    val pts = clustered.select(col(key).as("c_key"), col(vec).as("c_vec"))
       .join(clusters.select(col(key).as("c_key"), col("cluster")), "c_key")
       .select(col("cluster"), posexplode(col("c_vec")).as(Seq("dim", "v")))
-      .withColumn("vq", quant(col("v")))
-    val cent = pts.groupBy("cluster", "dim")
+      .withColumn("vq", ivfQuant(col("v")))
+    pts.groupBy("cluster", "dim")
       .agg(floor(sum("vq").cast("double") / count(lit(1)) + lit(0.5))
         .cast("long").as("c4"))
-    // the whole quantizer as ONE broadcastable row: per list, dims packed
-    // into an ordered array; lists ordered asc so the argmin fold below
-    // resolves distance ties to the LOWER list id by construction
-    val centRow = cent.groupBy("cluster")
+      .groupBy("cluster")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c4")))),
         s => s.getField("c4")).as("carr"))
       .agg(array_sort(collect_list(struct(col("cluster").cast("int")
         .as("list"), col("carr")))).as("cents"))
+  }
+
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, clusters: DataFrame,
+              key: String, vec: String, k: Int, nprobe: Int = 3): DataFrame =
+    ivfTopKQuantized(corpus, probes,
+      ivfQuantizer(corpus, key, vec, clusters), key, vec, k, nprobe)
+
+  /** [[ivfTopK]] against a pre-built (persistable) quantizer row. */
+  def ivfTopKQuantized(corpus: DataFrame, probes: DataFrame,
+                       quantizer: DataFrame, key: String, vec: String,
+                       k: Int, nprobe: Int = 3): DataFrame = {
+    val quant: Column => Column = ivfQuant
+    val centRow = quantizer
     // exact integer d2 to one packed centroid — evaluated per row, in-scan
     def d2To(vq: Column, carr: Column): Column =
       aggregate(zip_with(vq, carr, (a, b) => (a - b) * (a - b)),

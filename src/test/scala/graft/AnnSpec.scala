@@ -168,6 +168,20 @@ class AnnSpec extends AnyFunSuite {
     assert(ivf === brute)
   }
 
+  test("ivf against a persisted quantizer matches the inline composition") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val clusters = emb.select(col("vec_id"), (col("vec_id") % 4).as("cluster"))
+    val probes = emb.filter(col("vec_id") < 3)
+    val inline = Ann.ivfTopK(emb, probes, clusters, "vec_id", "embedding",
+      k = 5, nprobe = 2).collect().map(_.toSeq).toSet
+    val quant = Ann.ivfQuantizer(emb, "vec_id", "embedding", clusters).persist()
+    try {
+      val viaQuant = Ann.ivfTopKQuantized(emb, probes, quant, "vec_id",
+        "embedding", k = 5, nprobe = 2).collect().map(_.toSeq).toSet
+      assert(viaQuant === inline)
+    } finally quant.unpersist()
+  }
+
   test("ivf assigns every corpus row even when the quantizer is sample-trained") {
     // standard IVF: the coarse quantizer may be trained on a sample;
     // unclustered corpus rows still get a list and remain findable
