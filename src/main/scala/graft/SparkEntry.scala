@@ -233,7 +233,27 @@ object SparkEntry {
   /** Unpersist the shared vocab-tier materialization for `s` — long-lived
     * sessions would otherwise leak the cache entry (round-2 VERDICT
     * hygiene). Verify/Bench call this once their query sweep is done. */
+  /** ONE persisted IVF quantizer per (session, sf), shared by q70/q72/q73
+    * — without it every ivfTopK consumer re-runs the quantizer build
+    * (Ann's scaladoc: the quantizer is a model artifact; build once,
+    * persist, reuse). Released in [[releaseShared]]. */
+  private val sharedIvfQuant = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def ivfQuantizerShared(s: SparkSession, dir: String): DataFrame =
+    sharedIvfQuant.computeIfAbsent((s, dir), _ => {
+      val (model, emb) = kmeansFitted(s, dir)
+      val clusters = model.transform(emb)
+        .select(col("vec_id"), col("prediction").as("cluster"))
+      Ann.ivfQuantizer(emb, "vec_id", "embedding", clusters).persist()
+    })
+
   def releaseShared(s: SparkSession): Unit = {
+    val qit = sharedIvfQuant.entrySet().iterator()
+    while (qit.hasNext) {
+      val e = qit.next()
+      if (e.getKey._1 eq s) { e.getValue.unpersist(); qit.remove() }
+    }
     val it = sharedTermCounts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -316,11 +336,15 @@ object SparkEntry {
     val stale = new java.io.File("/tmp")
       .listFiles((_, n) => n.startsWith("graft_q62_csv_"))
     if (stale != null) stale.foreach { d =>
+      // toLongOption: /tmp is world-writable, so a foreign dir whose digit
+      // prefix exceeds Long must not crash every later gate run
       val pid = d.getName.stripPrefix("graft_q62_csv_").takeWhile(_.isDigit)
+        .toLongOption
       // a recycled pid now owned by an unrelated live process is left alone
       // (swept by a later run once the pid frees up)
-      if (pid.nonEmpty && pid.toLong != self &&
-          !ProcessHandle.of(pid.toLong).isPresent) deleteRecursively(d)
+      pid.foreach { p =>
+        if (p != self && !ProcessHandle.of(p).isPresent) deleteRecursively(d)
+      }
     }
     val out = s"/tmp/graft_q62_csv_${self}_$sfHash"
     q62Dirs.add(out); q62ExitHook
@@ -668,11 +692,9 @@ object SparkEntry {
     // array-order cosine. Lists are data-adaptive where LSH's hyperplanes
     // are data-oblivious — the recall/cost tradeoff a real corpus wants.
     "q70_ann_ivf" -> ((s, dir) => {
-      val (model, emb) = kmeansFitted(s, dir)
-      val clusters = model.transform(emb)
-        .select(col("vec_id"), col("prediction").as("cluster"))
-      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 3), clusters,
-        "vec_id", "embedding", k = 5, nprobe = 3)
+      val (_, emb) = kmeansFitted(s, dir)
+      Ann.ivfTopKQuantized(emb, emb.filter(col("vec_id") < 3),
+        ivfQuantizerShared(s, dir), "vec_id", "embedding", k = 5, nprobe = 3)
     }),
 
     // REAL resize under the gate: the payload itself is rewritten (ImageIO
@@ -735,14 +757,13 @@ object SparkEntry {
     // 50% of a 10-list corpus). Monotone by construction (routed lists
     // are nested); the oracle replays every point from q40's export.
     "q73_ivf_nprobe_curve" -> ((s, dir) => {
-      val (model, emb) = kmeansFitted(s, dir)
-      val clusters = model.transform(emb)
-        .select(col("vec_id"), col("prediction").as("cluster"))
+      val (_, emb) = kmeansFitted(s, dir)
       val probes = emb.filter(col("vec_id") < 3)
       val brute = Ann.bruteTopK(emb, probes, "vec_id", "embedding", 5)
+      val quant = ivfQuantizerShared(s, dir)
       Seq(1, 3, 5).map { np =>
-        val ivf = Ann.ivfTopK(emb, probes, clusters, "vec_id", "embedding",
-          k = 5, nprobe = np)
+        val ivf = Ann.ivfTopKQuantized(emb, probes, quant, "vec_id",
+          "embedding", k = 5, nprobe = np)
         brute.as("b").join(ivf.as("i"),
           col("b.p_key") === col("i.p_key") &&
             col("b.c_key") === col("i.c_key"), "left_outer")
@@ -803,9 +824,11 @@ object SparkEntry {
     // — vq = floor(v·1e4 + 0.5) per component, and the distance to the
     // empirical centroid clears denominators, dist = sqrt(Σ(vq·cnt − Σvq)²)
     // / (cnt·1e4), so EVERY sum both engines compare is exact integer
-    // arithmetic (order-independent; with |v| ≤ 1 and cnt ≤ 19k the
-    // squared terms stay within long — the require below fails loudly
-    // before either bound can silently overflow, the q47 pattern). The
+    // arithmetic (order-independent; with |v| ≤ 1 and cnt ≤ 18k the
+    // squared terms stay within long: Σ over 64 dims of (2e4·n)² needs
+    // 64·(2e4·18000)² = 8.3e18 < 2^63−1, while n=19000 would reach
+    // 9.24e18 and wrap — the require below fails loudly before the bound
+    // can silently overflow, the q47 pattern). The
     // old double-summation spelling could diverge from DuckDB in the last
     // ulp and flip the 6dp round at a boundary; on the grid the engines
     // cannot diverge at all.
@@ -821,8 +844,8 @@ object SparkEntry {
         .select(aggregate(col("embedding"), lit(0.0d),
           (acc, x) => greatest(acc, abs(x.cast("double")))).as("m"))
         .agg(max(col("m")).cast("double"), count(lit(1))).head()
-      require(maxAbs <= 1.0 && nVec <= 19000L,
-        s"q40 grid arithmetic is sized for |v|<=1, n<=19k; got max|v|=$maxAbs, n=$nVec")
+      require(maxAbs <= 1.0 && nVec <= 18000L,
+        s"q40 grid arithmetic is sized for |v|<=1, n<=18k; got max|v|=$maxAbs, n=$nVec")
       val cent = pts.groupBy("cluster", "dim")
         .agg(sum("vq").as("s4"), count(lit(1)).as("cnt"))
       val dist = pts.join(cent, Seq("cluster", "dim"))
@@ -2186,6 +2209,13 @@ object SparkEntry {
     // The ARPACK fit is taken as given via V; the tfidf × V linear algebra
     // every downstream consumer reads is cross-engine-verified (round-4
     // VERDICT #1). CASE nn = 0 mirrors the engine's zero-norm passthrough.
+    // KNOWN RESIDUAL RISK (q44 + q49, accepted): unlike the q40/q61 integer
+    // grids, this replay compares float sums — DuckDB's ln() and group
+    // summation order vs the engine's Math.log and token-id order — so a
+    // value within an ulp of a .00005 boundary could round apart. A grid
+    // cannot close it (ln() is inherent to tfidf). If this gate ever
+    // flakes, compare these two queries with abs-diff ≤ 1e-4 instead of
+    // hash equality, or export one extra digit and round driver-side.
     "q44_lsa" ->
       s"""WITH toks AS (
             SELECT doc_id, unnest($OracleTokens) AS token FROM documents),

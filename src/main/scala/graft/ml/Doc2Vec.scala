@@ -78,15 +78,15 @@ object Doc2Vec {
     * double). + 0.0 folds IEEE -0.0 to +0.0 (the q61 oracle mirrors).
     * Scale shape: one broadcast of the vocab-sized vector map, one
     * partial-agg shuffle on (doc, dim) — no corpus-side collect. */
-  def docVectors(model: Word2VecModel, docs: DataFrame,
-                 docKey: String): DataFrame = {
+  def docVectors(model: Word2VecModel, docs: DataFrame, docKey: String,
+                 tokensCol: String = "tokens"): DataFrame = {
     val wv = wordVectors(model)
       .withColumn("wq", floor(col("w") * lit(1e9) + lit(0.5)).cast("long"))
     val dims = wv.select("dim").distinct()
-    val sums = docs.select(col(docKey), explode(col("tokens")).as("token"))
+    val sums = docs.select(col(docKey), explode(col(tokensCol)).as("token"))
       .join(broadcast(wv.select("token", "dim", "wq")), "token")
       .groupBy(col(docKey), col("dim")).agg(sum("wq").as("s9"))
-    docs.select(col(docKey), size(col("tokens")).as("n"))
+    docs.select(col(docKey), size(col(tokensCol)).as("n"))
       .crossJoin(broadcast(dims))
       .join(sums, Seq(docKey, "dim"), "left")
       .select(col(docKey), col("dim"),

@@ -120,35 +120,15 @@ object Multimodal {
   private def bmpW(id: Long): Int = 4 + (id % 4).toInt
   private def bmpH(id: Long): Int = 3 + (id % 3).toInt
 
-  /** A genuine 24-bit BI_RGB BMP: 14-byte file header, 40-byte info header,
-    * bottom-up BGR rows padded to 4-byte boundaries. Widths 4–7 exercise
+  /** A genuine 24-bit BI_RGB BMP of the arithmetic raster — byte layout
+    * lives in [[encodeBmp24]] (one writer, no drift). Widths 4–7 exercise
     * every padding case (0–3 pad bytes). */
   def bmpBytes(id: Long): Array[Byte] = {
     val w = bmpW(id); val h = bmpH(id)
-    val rowBytes = w * 3
-    val pad = (4 - rowBytes % 4) % 4
-    val imageSize = (rowBytes + pad) * h
-    val fileSize = 54 + imageSize
-    val out = java.nio.ByteBuffer.allocate(fileSize)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    out.put('B'.toByte).put('M'.toByte).putInt(fileSize)
-      .putShort(0).putShort(0).putInt(54) // reserved, pixel-data offset
-    out.putInt(40).putInt(w).putInt(h) // positive height = bottom-up
-      .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
-      .putInt(imageSize).putInt(0).putInt(0).putInt(0).putInt(0)
-    var y = h - 1
-    while (y >= 0) { // bottom-up row order
-      var x = 0
-      while (x < w) {
-        out.put(bCh(id, x, y).toByte).put(gCh(id, x, y).toByte)
-          .put(rCh(id, x, y).toByte)
-        x += 1
-      }
-      var p = 0
-      while (p < pad) { out.put(0.toByte); p += 1 }
-      y -= 1
-    }
-    out.array()
+    encodeBmp24(w, h, Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (rCh(id, x, y) << 16) | (gCh(id, x, y) << 8) | bCh(id, x, y)
+    })
   }
 
   /** Deterministic synthetic table of REAL BMP payloads. */
@@ -269,16 +249,20 @@ object Multimodal {
     * pixel) → 24-bit BMP re-encode. None = quarantine (undecodable). */
   def resizeImagePayload(payload: Array[Byte], dstW: Int, dstH: Int)
       : Option[Array[Byte]] = {
-    require(dstW > 0 && dstH > 0, s"resize to ${dstW}x$dstH")
+    require(dstW > 0 && dstH > 0 && dstW.toLong * dstH <= MaxDecodePixels,
+      s"resize to ${dstW}x$dstH exceeds the pixel budget")
     readImage(payload).map { img =>
       val sw = img.getWidth; val sh = img.getHeight
       val out = new Array[Int](dstW * dstH)
       var y = 0
       while (y < dstH) {
-        val sy = y * sh / dstH
+        // long products: x·sw / y·sh overflow Int for legitimate budgets
+        // (8192-wide source × 300k target), and a wrapped negative index
+        // would escape the quarantine as an uncaught bounds exception
+        val sy = ((y.toLong * sh) / dstH).toInt
         var x = 0
         while (x < dstW) {
-          out(y * dstW + x) = img.getRGB(x * sw / dstW, sy)
+          out(y * dstW + x) = img.getRGB(((x.toLong * sw) / dstW).toInt, sy)
           x += 1
         }
         y += 1
@@ -523,7 +507,11 @@ object Multimodal {
         while (ok && buf.position() + 8 <= end) {
           val id = fourcc()
           val size = buf.getInt
-          if (size < 0 || buf.position() + size > end) ok = false
+          // overflow-safe: 'position + size > end' wraps negative for a
+          // crafted size near Int.MaxValue and would bypass the guard,
+          // reaching the ~2GB allocation below as an OOM Error the
+          // NonFatal quarantine deliberately does not swallow
+          if (size < 0 || size > end - buf.position()) ok = false
           else {
             val chunkEnd = buf.position() + size
             if (id == "LIST" && size >= 4) {
