@@ -190,7 +190,7 @@ object Bench {
       System.err.println(s"[bench] audit write failed: ${e.getMessage}")
       println(audit.replace("\n", ""))
     }
-    println(
+    val compact =
       s"""{"metric":"turns_extracted_per_sec","value":${headline.round},"unit":"rows/sec",""" +
       s""""turns_per_sec_local2":${tp2.round},""" +
       s""""turns_per_sec_local8":${tp8.round},"turns_per_sec_local32":${tp32.round},""" +
@@ -204,7 +204,20 @@ object Bench {
       s""""scaling_efficiency_n8_to_n32":${r3(eff832Best)},""" +
       s""""scaling_efficiency_n2_to_n32":${r3(eff232Best)},""" +
       s""""bench_turns":$nTurns,"samples_file":"$auditPath",""" +
-      s""""queries_total_sec":${r3(total)},"n_queries":${results.size},"sf":"$sfDir"}""")
+      s""""queries_total_sec":${r3(total)},"n_queries":${results.size},"sf":"$sfDir"}"""
+    // The SAME compact object also lands in a FILE: the round-5 driver
+    // artifact still carried "parsed": null because the headline lived only
+    // inside a scraped stdout tail — a file of record means no future
+    // tail-window change can re-lose it (round-5 VERDICT #4).
+    try {
+      val hp = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_HEADLINE", "BENCH/bench_headline.json"))
+      if (hp.getParent != null) java.nio.file.Files.createDirectories(hp.getParent)
+      java.nio.file.Files.writeString(hp, compact)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] headline write failed: ${e.getMessage}")
+    }
+    println(compact)
     SparkEntry.releaseShared(spark)
     spark.stop()
   }

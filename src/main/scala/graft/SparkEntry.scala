@@ -72,6 +72,16 @@ object SparkEntry {
          GROUP BY 1"""
 
   private val OracleTriples = ('a' to 'z').map(c => s"$c$c$c").mkString("|")
+
+  /** q55's upper-bracket margin over ln(vocabSize): MLlib's logPerplexity is
+    * −ELBO/N, and the ELBO pays KL penalties (doc-topic and topic-matrix
+    * Dirichlet terms) a plugin likelihood doesn't — so the reported value
+    * legitimately sits a little ABOVE the uniform-model ln(V) ceiling.
+    * Measured (2026-08-17): lp − ln(V) ≈ +0.035 at sf0.001/sf0.01, +0.044
+    * at sf0.1; lp − pluginCE ≈ +0.07..+0.10 everywhere. Margin 1.0 keeps
+    * ≥20× headroom over the measured excess while still rejecting any fit
+    * that does materially worse than uniform. */
+  private val Q55UpperMargin = 1.0
   /** The P2–P7 chain over an arbitrary text EXPRESSION — parameterized so
     * q67 can feed it the P1-folded text (`translate(...)`), while every
     * ASCII-corpus query keeps the bare `text` spelling via [[OracleTokens]]
@@ -193,6 +203,20 @@ object SparkEntry {
           .withColumn("features", array_to_vector(col("projection"))))
     })
 
+  /** The full-precision PCA projection (doc_id, pc: Array[Double]) — ONE
+    * spelling consumed by BOTH q49 (which rounds it) and q65's 'pcproj'
+    * export (which the q49 oracle echoes): the transform is deterministic
+    * row math, so the exported doubles are bit-identical to the ones q49
+    * rounds, which is what makes the echo-with-tolerance oracle flake-free
+    * (round-5 ADVICE #1). */
+  private def pcaProjection(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val lsa = lsaProjection(s, dir)
+      .withColumn("features", array_to_vector(col("projection")))
+    pcaFitted(s, dir).transform(lsa)
+      .select(col("doc_id"), vector_to_array(col("pc")).as("pc"))
+  }
+
   /** ONE seeded KMeans fit per (session, sf) shared by q40 (assignments)
     * and q50 (silhouette of the same clustering — evaluating a DIFFERENT
     * fit than the one published would be wrong anyway). */
@@ -248,7 +272,66 @@ object SparkEntry {
       Ann.ivfQuantizer(emb, "vec_id", "embedding", clusters).persist()
     })
 
+  /** ONE persisted result frame per (session, sf, name) for the three gated
+    * ANN paths (q27 brute / q47 LSH / q70 IVF): q72's recall metric and
+    * q73's nprobe curve consume all three, and without sharing one
+    * Verify/Bench sweep re-ran the exact O(n·probes) corpus scan three
+    * times and the approximate paths twice (round-5 ADVICE). The frames are
+    * tiny (probes × k rows); what's saved is the corpus scan behind each.
+    * Released in [[releaseShared]]. */
+  private val sharedAnnResults = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  private def annShared(s: SparkSession, dir: String, name: String)
+                       (build: => DataFrame): DataFrame =
+    sharedAnnResults.computeIfAbsent((s, dir, name), _ => build.persist())
+
+  /** q74's quality-gated, exact-deduped intermediate, persisted so the
+    * MinHash LSH self-join and the final anti-join read ONE materialization
+    * instead of re-evaluating the quality-scan + dedup subtree on every
+    * branch — the round-5 VERDICT #1 plan bug: the lazy composition's
+    * physical plan rescanned the documents corpus ~9× (correct, gated, and
+    * NOT the plan you'd run at 100 TB, where it means ~6 full corpus
+    * quality scans inside one job). This is the single-job spelling (the
+    * docTermCounts pattern); the production shape at 10^12 rows stages this
+    * frame through Scale.resumableWrite between pipeline stages instead —
+    * exactly where the reference materializes its corpus between stages
+    * (reference: src/doc_classification.py:492-494). Released in
+    * [[releaseShared]]. */
+  private val sharedCurated = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def curatedUnique(s: SparkSession, dir: String): DataFrame =
+    sharedCurated.computeIfAbsent((s, dir), _ => {
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // quality is ALSO persisted: Dedup.exact's keeper join-back plus the
+      // semi join re-derive it three times otherwise, and each re-derivation
+      // is a full documents scan — with both stages cached the whole
+      // curation build touches parquet exactly once
+      val quality = t(s, dir, "documents").select(
+          col("doc_id"), col("text"),
+          graft.textstats.TextStats.qualityScorePpm(col("text"),
+            graft.text.Normalize.DefaultStops).as("quality_ppm"))
+        .filter(col("quality_ppm") >= 650000L)
+        .persist(mem)
+      val keepers = graft.dedup.Dedup.exact(quality, "doc_id", "text")
+        .filter(col("keep")).select("doc_id")
+      (quality.join(keepers, Seq("doc_id"), "left_semi").persist(mem), quality)
+    })._1
+
   def releaseShared(s: SparkSession): Unit = {
+    val ait = sharedAnnResults.entrySet().iterator()
+    while (ait.hasNext) {
+      val e = ait.next()
+      if (e.getKey._1 eq s) { e.getValue.unpersist(); ait.remove() }
+    }
+    val cit = sharedCurated.entrySet().iterator()
+    while (cit.hasNext) {
+      val e = cit.next()
+      if (e.getKey._1 eq s) {
+        e.getValue._1.unpersist(); e.getValue._2.unpersist(); cit.remove()
+      }
+    }
     val qit = sharedIvfQuant.entrySet().iterator()
     while (qit.hasNext) {
       val e = qit.next()
@@ -323,22 +406,26 @@ object SparkEntry {
     * CSV must outlive the builder call — the returned DataFrame reads it
     * lazily when the driver executes the query — so deletion cannot happen
     * inline; process death is the correct lifetime. */
-  private val q62Dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val stagedDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def deleteRecursively(f: java.io.File): Unit = {
     val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRecursively)
     f.delete(): Unit
   }
-  private lazy val q62ExitHook: Unit =
+  private lazy val stageExitHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      q62Dirs.forEach(p => deleteRecursively(new java.io.File(p)))))
-  private def q62Stage(sfHash: Int): String = {
+      stagedDirs.forEach(p => deleteRecursively(new java.io.File(p)))))
+  /** Pid-qualified /tmp staging dir shared by the gates that must write
+    * real files (q62 CSV, q75 media fixtures, q76 streaming replay):
+    * sweeps same-prefix dirs left by DEAD processes, registers ours for
+    * deletion at JVM exit. */
+  private def stageDir(prefix: String, sfHash: Int): String = {
     val self = ProcessHandle.current().pid()
     val stale = new java.io.File("/tmp")
-      .listFiles((_, n) => n.startsWith("graft_q62_csv_"))
+      .listFiles((_, n) => n.startsWith(prefix + "_"))
     if (stale != null) stale.foreach { d =>
       // toLongOption: /tmp is world-writable, so a foreign dir whose digit
       // prefix exceeds Long must not crash every later gate run
-      val pid = d.getName.stripPrefix("graft_q62_csv_").takeWhile(_.isDigit)
+      val pid = d.getName.stripPrefix(prefix + "_").takeWhile(_.isDigit)
         .toLongOption
       // a recycled pid now owned by an unrelated live process is left alone
       // (swept by a later run once the pid frees up)
@@ -346,9 +433,37 @@ object SparkEntry {
         if (p != self && !ProcessHandle.of(p).isPresent) deleteRecursively(d)
       }
     }
-    val out = s"/tmp/graft_q62_csv_${self}_$sfHash"
-    q62Dirs.add(out); q62ExitHook
+    val out = s"/tmp/${prefix}_${self}_$sfHash"
+    stagedDirs.add(out); stageExitHook
     out
+  }
+  private def q62Stage(sfHash: Int): String = stageDir("graft_q62_csv", sfHash)
+
+  /** q75's media fixture dir: real BMP/WAV/AVI files ON DISK (the q63/q64/
+    * q69 arithmetic payloads, keyed by the id embedded in the FILENAME),
+    * written once per (process, sf) and read back through the production
+    * `binaryFile` source — the round-5 VERDICT #3 gap: every gated
+    * multimodal query read synthetic in-memory tables, so
+    * [[graft.multimodal.Multimodal.fromBinaryFiles]] (the path a deployment
+    * actually ingests through) never ran under a gate. */
+  private val Q75Files = 20
+  private def q75Media(sfHash: Int): String = {
+    val dir = stageDir("graft_q75_media", sfHash)
+    val ready = new java.io.File(dir, "_READY")
+    if (!ready.exists) {
+      new java.io.File(dir).mkdirs()
+      import java.nio.file.{Files, Paths}
+      val mm = graft.multimodal.Multimodal
+      (0L until Q75Files).foreach { id =>
+        Files.write(Paths.get(dir, f"img_$id%04d.bmp"), mm.bmpBytes(id))
+        Files.write(Paths.get(dir, f"aud_$id%04d.wav"), mm.wavBytes(id))
+        Files.write(Paths.get(dir, f"vid_$id%04d.avi"), mm.aviBytes(id))
+        ()
+      }
+      Files.write(Paths.get(dir, "_READY"), Array.emptyByteArray)
+      ()
+    }
+    dir
   }
 
   /** conv_id / turn_idx key mapping used by Transcripts.fromDocuments,
@@ -553,8 +668,10 @@ object SparkEntry {
       .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
         count(when(col("k").isNotNull, 1)).as("n_k"))),
 
-    // T2/M9 — brute-force cosine top-k for a small probe set
-    "q27_ann_topk" -> ((s, dir) => {
+    // T2/M9 — brute-force cosine top-k for a small probe set. Shared
+    // persisted result: q72's recall and q73's curve both consume the exact
+    // top-k, and each re-run was a full corpus scan (round-5 ADVICE).
+    "q27_ann_topk" -> ((s, dir) => annShared(s, dir, "brute") {
       val emb = t(s, dir, "embeddings")
       Ann.bruteTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
     }),
@@ -691,10 +808,18 @@ object SparkEntry {
     // routing in exact integer arithmetic, candidate rescore in per-row
     // array-order cosine. Lists are data-adaptive where LSH's hyperplanes
     // are data-oblivious — the recall/cost tradeoff a real corpus wants.
-    "q70_ann_ivf" -> ((s, dir) => {
+    // nprobe left at the SIZED DEFAULT (Ann.nprobeFor: ⌈0.8·nlist⌉ = 8 of
+    // 10 lists) — the round-5 VERDICT #5 fix: the old explicit nprobe=3
+    // gave a 20–47% recall ANN with no warning; the default path under the
+    // gate now reads ≥80% recall at every sf (q72 checks the number).
+    "q70_ann_ivf" -> ((s, dir) => annShared(s, dir, "ivf") {
       val (_, emb) = kmeansFitted(s, dir)
+      // the oracle replays exactly 8 probed lists (pr <= 8) — fail LOUDLY
+      // if the sizing rule ever drifts (round-3 ADVICE class)
+      require(Ann.nprobeFor(10) == 8,
+        s"q70 oracle is pinned to nprobe=8, nprobeFor(10) gave ${Ann.nprobeFor(10)}")
       Ann.ivfTopKQuantized(emb, emb.filter(col("vec_id") < 3),
-        ivfQuantizerShared(s, dir), "vec_id", "embedding", k = 5, nprobe = 3)
+        ivfQuantizerShared(s, dir), "vec_id", "embedding", k = 5)
     }),
 
     // REAL resize under the gate: the payload itself is rewritten (ImageIO
@@ -734,15 +859,13 @@ object SparkEntry {
     // pairs with ANY lower-id survivor, deterministic and replayable —
     // transitive chains prune conservatively). Every stage is a gated
     // operator (q20/q21/q45); the oracle replays the full composition.
+    // Round-5 VERDICT #1 fix: the quality → exact-dedup intermediate is a
+    // PERSISTED shared frame ([[curatedUnique]]) — both sides of the MinHash
+    // self-join and the final anti-join read one InMemoryRelation, so the
+    // plan scans `documents` ONCE (was ~9 Scan parquet leaves; at 100 TB
+    // that was ~6 full corpus quality scans inside one job).
     "q74_curation" -> ((s, dir) => {
-      val scored = t(s, dir, "documents").select(
-        col("doc_id"), col("text"),
-        graft.textstats.TextStats.qualityScorePpm(col("text"),
-          graft.text.Normalize.DefaultStops).as("quality_ppm"))
-      val quality = scored.filter(col("quality_ppm") >= 650000L)
-      val keepers = graft.dedup.Dedup.exact(quality, "doc_id", "text")
-        .filter(col("keep")).select("doc_id")
-      val unique = quality.join(keepers, Seq("doc_id"), "left_semi")
+      val unique = curatedUnique(s, dir)
       val nearDropped = graft.dedup.Dedup.minhashLshMd5(
           unique.select(col("doc_id"), split(col("text"), " ").as("tokens")),
           "doc_id", "tokens", k = 3, numHashes = 16, bands = 4)
@@ -753,15 +876,19 @@ object SparkEntry {
     }),
 
     // The IVF nprobe→recall curve — the tradeoff a deployment tunes: mean
-    // recall ppm across probes at nprobe ∈ {1, 3, 5} (visiting 10%, 30%,
-    // 50% of a 10-list corpus). Monotone by construction (routed lists
-    // are nested); the oracle replays every point from q40's export.
+    // recall ppm across probes at nprobe ∈ {1, 3, 5, 8} (visiting 10–80% of
+    // a 10-list corpus; 8 is the shipped default, Ann.nprobeFor — the curve
+    // shows what the default buys and what tuning down costs). Monotone by
+    // construction (routed lists are nested); the oracle replays every
+    // point from q40's export.
     "q73_ivf_nprobe_curve" -> ((s, dir) => {
       val (_, emb) = kmeansFitted(s, dir)
       val probes = emb.filter(col("vec_id") < 3)
-      val brute = Ann.bruteTopK(emb, probes, "vec_id", "embedding", 5)
+      // same (corpus, probes, k) as q27 — reuse its shared persisted result
+      // instead of a third exact corpus scan (round-5 ADVICE)
+      val brute = queries("q27_ann_topk")(s, dir)
       val quant = ivfQuantizerShared(s, dir)
-      Seq(1, 3, 5).map { np =>
+      Seq(1, 3, 5, 8).map { np =>
         val ivf = Ann.ivfTopKQuantized(emb, probes, quant, "vec_id",
           "embedding", k = 5, nprobe = np)
         brute.as("b").join(ivf.as("i"),
@@ -771,6 +898,77 @@ object SparkEntry {
             " * 1000000 DIV count(*) AS BIGINT)").as("mean_recall_ppm"))
           .select(lit(np).as("nprobe"), col("mean_recall_ppm"))
       }.reduce(_ unionAll _)
+    }),
+
+    // S3 UNDER THE GATE (round-5 VERDICT #3): real BMP/WAV/AVI files on
+    // DISK, ingested through the production `binaryFile` source
+    // (Multimodal.fromBinaryFiles — extension→kind routing, payload as a
+    // binary column), routed by kind into the SAME three real decoders the
+    // q63/q64/q69 gates pin, with the arithmetic keyed by the id embedded
+    // in the FILENAME. One long-form schema (kind, file_id, metric, value)
+    // so all three decode tiers share one oracle; a green row proves the
+    // whole bytes-on-disk → source → decode → features path. The _READY
+    // marker file exercises the 'binary' fallback kind (filtered out, as a
+    // deployment filters unknown blobs).
+    "q75_binary_source" -> ((s, dir) => {
+      val mm = graft.multimodal.Multimodal
+      val media = mm.fromBinaryFiles(s, q75Media(math.floorMod(dir.hashCode, 1 << 30)))
+        .withColumn("file_id",
+          regexp_extract(col("path"), "_(\\d+)\\.[a-z]+$", 1).cast("long"))
+      def byKind(kind: String): DataFrame =
+        media.filter(col("meta.kind") === kind)
+          .select(col("file_id").as("media_id"), col("payload"))
+      def longForm(kind: String, df: DataFrame,
+                   metrics: (String, Column)*): DataFrame =
+        df.select(lit(kind).as("kind"), col("media_id").as("file_id"),
+          explode(map(metrics.flatMap { case (n, c) =>
+            Seq(lit(n), c.cast("long")) }: _*)).as(Seq("metric", "value")))
+      val img = longForm("image", mm.extractImageFeatures(byKind("image")),
+        "decoded" -> col("decoded").cast("int"), "width" -> col("width"),
+        "height" -> col("height"), "r_ppm" -> col("r_ppm"),
+        "g_ppm" -> col("g_ppm"), "b_ppm" -> col("b_ppm"),
+        "r_wsum" -> col("r_wsum"))
+      val aud = longForm("audio", mm.extractAudioFeatures(byKind("audio")),
+        "decoded" -> col("decoded").cast("int"),
+        "sample_rate" -> col("sample_rate"), "n_samples" -> col("n_samples"),
+        "sum_pcm" -> col("sum_pcm"), "sum_abs_pcm" -> col("sum_abs_pcm"),
+        "wsum_pcm" -> col("wsum_pcm"))
+      val frames = mm.extractVideoFrames(byKind("video"))
+      val vid = frames.select(lit("video").as("kind"),
+        col("media_id").as("file_id"),
+        format_string("f%02d_level", col("frame_idx")).as("metric"),
+        col("level").cast("long").as("value"))
+      val vidN = frames.groupBy(col("media_id").as("file_id"))
+        .agg(count(lit(1)).as("value"))
+        .select(lit("video").as("kind"), col("file_id"),
+          lit("n_frames").as("metric"), col("value"))
+      img.unionAll(aud).unionAll(vid).unionAll(vidN)
+    }),
+
+    // STREAMING UNDER THE GATE (round-5 VERDICT #8 stretch): the documents-
+    // derived transcript corpus staged to parquet files, replayed through
+    // the Structured Streaming twin of the extraction kernel
+    // (StreamingExtract.fromParquetDir — file source, AvailableNow trigger,
+    // checkpointed parquet sink), and the SINK read back as the query
+    // result. The oracle is q30's (per-turn text equality) — a green row is
+    // the batch ≡ stream contract under the same DuckDB discipline as every
+    // batch gate, not just the spec pin. Per-run nanoTime subdir: a reused
+    // checkpoint would mark the staged files already-processed and emit
+    // nothing on the second sweep.
+    "q76_streaming_extract" -> ((s, dir) => {
+      val base = stageDir("graft_q76_stream", math.floorMod(dir.hashCode, 1 << 30))
+      val run = s"$base/${System.nanoTime()}"
+      Transcripts.fromDocuments(s, dir)
+        .write.mode("overwrite").parquet(s"$run/in")
+      val q = graft.streaming.StreamingExtract.fromParquetDir(s, s"$run/in")
+        .select(col("conv_id"), col("turn_idx"), col("text"))
+        .writeStream.format("parquet")
+        .option("path", s"$run/out")
+        .option("checkpointLocation", s"$run/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$run/out").select("conv_id", "turn_idx", "text")
     }),
 
     // SimHash near-dup — md5-portable 32-bit signature so DuckDB replays it;
@@ -861,13 +1059,16 @@ object SparkEntry {
     // IS `tfidf · V` followed by an L2 normalize — so with V exported by q65
     // the oracle recomputes EVERY value from the documents table + the
     // query's own model export (round-4 VERDICT #1: the q40/q50/q52
-    // self-consistency pattern applied to LSA). + 0.0 folds IEEE -0.0 so a
-    // value rounding to zero from below renders identically in both engines.
+    // self-consistency pattern applied to LSA). FULL precision, no round:
+    // the oracle echoes the same doubles from q65's export (tolerance-
+    // checked against its recomputation), so rounding would only reintroduce
+    // the cross-engine round() boundary risk it used to paper over
+    // (round-5 ADVICE #1). + 0.0 folds IEEE -0.0 in both engines.
     "q44_lsa" -> ((s, dir) =>
       lsaProjection(s, dir)
         .select(col("doc_id"), posexplode(col("projection")).as(Seq("dim", "value")))
         .select(col("doc_id"), col("dim"),
-          (round(col("value"), 4) + lit(0.0d)).as("value"))),
+          (col("value") + lit(0.0d)).as("value"))),
 
     // The LSA/PCA model state behind q44/q49, exported at FULL double
     // precision as the replay input for their oracles (rows-only itself —
@@ -875,6 +1076,8 @@ object SparkEntry {
     //   part='loading': V(token_id, dim)   — the right singular vectors
     //   part='proj':    normalized projection(doc_id, dim) — what PCA reads
     //   part='pc':      W(lsa_dim, pc_idx) — the PCA component matrix
+    //   part='pcproj':  Wᵀx(doc_id, pc_idx) at FULL precision — the doubles
+    //                   q49 rounds, echoed by its tolerance oracle
     // V and W are driver-local by design (vocab is keepN-capped; k×2 is
     // tiny) — the same scale argument as broadcasting them.
     "q65_lsa_model" -> ((s, dir) => {
@@ -891,7 +1094,10 @@ object SparkEntry {
         yield ("pc", i.toLong, j, pc(i, j))).toDF("part", "i", "j", "value")
       val projRows = proj.select(lit("proj").as("part"), col("doc_id").as("i"),
         posexplode(col("projection")).as(Seq("j", "value")))
-      loadings.union(pcRows).union(projRows)
+      val pcProjRows = pcaProjection(s, dir)
+        .select(lit("pcproj").as("part"), col("doc_id").as("i"),
+          posexplode(col("pc")).as(Seq("j", "value")))
+      loadings.union(pcRows).union(projRows).union(pcProjRows)
     }),
 
     // Orthonormality of the exported V, computed DRIVER-SIDE from the model
@@ -917,7 +1123,7 @@ object SparkEntry {
     // sign-pattern, probes also visit every Hamming-1 bucket, same-bucket
     // pairs score, dedup, window top-k. Round-2 VERDICT #5: the 100 TB ANN
     // path ran spec-only — now driver-gated end to end.
-    "q47_ann_lsh" -> ((s, dir) => {
+    "q47_ann_lsh" -> ((s, dir) => annShared(s, dir, "lsh") {
       val emb = t(s, dir, "embeddings")
       val bits = Ann.bitsFor(emb.count()) // 4 for every testdata sf (n ≤ 4096)
       // the oracle replays exactly 4 hyperplanes (generate_series(0,3)) —
@@ -956,16 +1162,13 @@ object SparkEntry {
     // (round-4 VERDICT #1); the covariance eigen-fit itself stays
     // unreplayed, pinned by LsaSpec. Fit shared with q65 via [[pcaFitted]]
     // — the replay MUST read the same model. + 0.0 folds IEEE -0.0.
-    "q49_pca" -> ((s, dir) => {
-      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-      val lsa = lsaProjection(s, dir)
-        .withColumn("features", array_to_vector(col("projection")))
-      pcaFitted(s, dir).transform(lsa)
-        .select(col("doc_id"), vector_to_array(col("pc")).as("pc"))
+    "q49_pca" -> ((s, dir) =>
+      // full precision, no round — same echo contract as q44: the oracle
+      // outputs the identical doubles from q65's 'pcproj' export
+      pcaProjection(s, dir)
         .select(col("doc_id"),
-          (round(col("pc").getItem(0), 4) + lit(0.0d)).as("pc1"),
-          (round(col("pc").getItem(1), 4) + lit(0.0d)).as("pc2"))
-    }),
+          (col("pc").getItem(0) + lit(0.0d)).as("pc1"),
+          (col("pc").getItem(1) + lit(0.0d)).as("pc2"))),
 
     // M8 — per-point silhouette of the seeded KMeans clustering (reference:
     // modules/Silhouette.py:9-36, sklearn euclidean metric). The cluster
@@ -1089,14 +1292,59 @@ object SparkEntry {
     }),
 
     // M18 — held-out log-perplexity of the topic model (reference:
-    // log_perplexity, src/doc_classification.py:71). Rows-only scalar.
+    // log_perplexity, src/doc_classification.py:71). Round-5 VERDICT #6
+    // upgrade from rows-only: the variational ELBO itself is the one number
+    // no SQL engine can recompute (digamma terms), but it IS bracketable —
+    // the reported per-token bound must sit ABOVE the plugin cross-entropy
+    // −Σ cnt·ln(Σₖ θ̂_dk·φ_kw)/Σ cnt (a fitted parameter point the bound
+    // cannot beat: the ELBO pays KL penalties the plugin doesn't) and BELOW
+    // ln(V) + margin (the uniform-model ceiling; the margin absorbs the KL
+    // excess — measured lp − ln(V) ≈ +0.04 and lp − plugin ≈ +0.07..0.10 at
+    // every gated sf, see Q55UpperMargin). The query exports φ (part='phi',
+    // full precision, λ columns normalized to distributions) and
+    // the reported value (part='stat', i = k); the oracle recomputes the
+    // bracket from documents + q52's exported θ + the echoed φ and emits
+    // its own 'sane' verdict row — a green hash means BOTH engines computed
+    // the bracket and BOTH found the reported number inside it. The engine
+    // additionally `require`s the bracket with 1e-6 separation so a
+    // boundary-grazing value fails loudly rather than flaking.
     "q55_lda_perplexity" -> ((s, dir) => {
-      val (model, features) = ldaFitted(s, dir)
       val spark = s
       import spark.implicits._
-      Seq((5,
-        math.rint(graft.ml.Lda.logPerplexity(model, features) * 1e4) / 1e4))
-        .toDF("k", "log_perplexity")
+      val (model, features) = ldaFitted(s, dir)
+      val lp = math.rint(graft.ml.Lda.logPerplexity(model, features) * 1e4) / 1e4
+      val (vocab, _, vocabSize) = vocabInfo(s, dir)
+      val k = model.getK
+      // topicsMatrix returns the UNNORMALIZED variational λ for the online
+      // optimizer (expected token counts per topic-word, column sums ≫ 1) —
+      // normalize each topic column into the φ distribution (probed: the
+      // raw columns summed to ~e^6, flipping the plugin CE negative)
+      val tm = model.topicsMatrix // vocabSize × k
+      val colSum = Array.tabulate(k)(tpc =>
+        (0 until vocabSize).map(w => tm(w, tpc)).sum)
+      val phiRows = (for { tpc <- 0 until k; w <- 0 until vocabSize }
+        yield ("phi", tpc.toLong, w, tm(w, tpc) / colSum(tpc)))
+        .toDF("part", "i", "j", "value")
+      val theta = graft.ml.Lda.docTopicMatrix(model, features, "doc_id")
+        .select(col("doc_id"), col("topic"), col("weight"))
+      val bow = Vocab.bowFromCounts(docTermCounts(s, dir), vocab, "doc_id")
+      val phiDf = phiRows.select(col("i").cast("int").as("topic"),
+        col("j").cast("long").as("token_id"), col("value").as("phi"))
+      val mix = bow.join(theta, Seq("doc_id"))
+        .join(broadcast(phiDf), Seq("topic", "token_id"))
+        .groupBy("doc_id", "token_id")
+        .agg(max(col("cnt")).as("cnt"), sum(col("weight") * col("phi")).as("m"))
+      val org.apache.spark.sql.Row(plugin: Double) = mix
+        .agg((-sum(col("cnt") * log(col("m"))) / sum(col("cnt"))).as("p"))
+        .head()
+      val upper = math.log(vocabSize.toDouble) + Q55UpperMargin
+      require(lp - plugin > 1e-6 && upper - lp > 1e-6,
+        s"q55 perplexity bracket violated (or boundary-grazing): " +
+          s"plugin=$plugin lp=$lp upper=$upper — a real regression in the " +
+          s"LDA fit or the bound arithmetic, not a flake")
+      Seq(("stat", k.toLong, 0, lp), ("sane", 0L, 0, 1.0))
+        .toDF("part", "i", "j", "value")
+        .union(phiRows)
     }),
 
     // M17 — the doc-topic correlation matrix behind the reference's heatmap
@@ -1811,7 +2059,7 @@ object SparkEntry {
            SELECT vec_id, list FROM (
              SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id
                ORDER BY d2 ASC, list ASC) AS rn FROM d2) WHERE rn = 1),
-         np AS (SELECT unnest([1, 3, 5]) AS nprobe),
+         np AS (SELECT unnest([1, 3, 5, 8]) AS nprobe),
          routing AS (
            SELECT n.nprobe, d.vec_id AS p_key, d.list FROM (
              SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id
@@ -1987,9 +2235,10 @@ object SparkEntry {
     // exported clustering + the embeddings table: grid-quantized centroid
     // build (the q40 1e-4 grid; floor(Σvq/cnt + 0.5) per dim), exact
     // integer squared distance of every vector to every list centroid,
-    // argmin list assignment (tie → lower list), nprobe=3 probe routing by
-    // the same distances, then exact cosine rescore of the routed
-    // candidates. Only the final cosine runs in floats (the q27 pattern).
+    // argmin list assignment (tie → lower list), default-sized probe
+    // routing (nprobeFor: 8 of 10 lists) by the same distances, then exact
+    // cosine rescore of the routed candidates. Only the final cosine runs
+    // in floats (the q27 pattern).
     "q70_ann_ivf" ->
       """WITH asg AS (SELECT vec_id, cluster
                       FROM read_parquet('__VERIFY_OUT__/q40_kmeans/*.parquet')),
@@ -2013,7 +2262,7 @@ object SparkEntry {
            SELECT vec_id AS p_key, list FROM (
              SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id
                ORDER BY d2 ASC, list ASC) AS pr FROM d2 WHERE vec_id < 3)
-           WHERE pr <= 3),
+           WHERE pr <= 8),
          v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          cand AS (
            SELECT r.p_key, a.vec_id AS c_key,
@@ -2205,17 +2454,16 @@ object SparkEntry {
 
     // M2 — the LSA projection replayed from q65's exported V: rebuild the
     // engine's full-precision tfidf (q16's CTE chain without the 6dp round),
-    // multiply by the exported loadings, L2-normalize per doc, round 4dp.
-    // The ARPACK fit is taken as given via V; the tfidf × V linear algebra
-    // every downstream consumer reads is cross-engine-verified (round-4
-    // VERDICT #1). CASE nn = 0 mirrors the engine's zero-norm passthrough.
-    // KNOWN RESIDUAL RISK (q44 + q49, accepted): unlike the q40/q61 integer
-    // grids, this replay compares float sums — DuckDB's ln() and group
-    // summation order vs the engine's Math.log and token-id order — so a
-    // value within an ulp of a .00005 boundary could round apart. A grid
-    // cannot close it (ln() is inherent to tfidf). If this gate ever
-    // flakes, compare these two queries with abs-diff ≤ 1e-4 instead of
-    // hash equality, or export one extra digit and round driver-side.
+    // multiply by the exported loadings, L2-normalize per doc — then ECHO
+    // the engine's own full-precision export (part='proj'), FILTERED to the
+    // rows where the recomputation agrees within 1e-6. Both engines now
+    // round IDENTICAL doubles, so the round-5 ADVICE flake class (a value
+    // within an ulp of a .00005 boundary rounding apart across DuckDB
+    // ln()/group order vs Math.log/token order) is structurally closed —
+    // a genuine arithmetic divergence ≥ 1e-6 (≫ cross-engine float noise
+    // ~1e-12, ≪ the 1e-4 rounding step) drops that row from the oracle's
+    // output and fails the row-count compare loudly. CASE nn = 0 mirrors
+    // the engine's zero-norm passthrough.
     "q44_lsa" ->
       s"""WITH toks AS (
             SELECT doc_id, unnest($OracleTokens) AS token FROM documents),
@@ -2238,15 +2486,25 @@ object SparkEntry {
                  WHERE part = 'loading'),
           raw AS (SELECT t.doc_id, l.dim, sum(t.tfidf * l.ldg) AS r
                   FROM tfidf t JOIN ld l USING (token_id) GROUP BY 1, 2),
-          nrm AS (SELECT doc_id, sqrt(sum(r * r)) AS nn FROM raw GROUP BY 1)
-          SELECT r.doc_id, r.dim,
-            round(CASE WHEN nn = 0 THEN r ELSE r / nn END, 4) + 0.0 AS value
-          FROM raw r JOIN nrm USING (doc_id)""",
+          nrm AS (SELECT doc_id, sqrt(sum(r * r)) AS nn FROM raw GROUP BY 1),
+          ex AS (SELECT i AS doc_id, j AS dim, value AS v
+                 FROM read_parquet('__VERIFY_OUT__/q65_lsa_model/*.parquet')
+                 WHERE part = 'proj')
+          SELECT ex.doc_id, ex.dim, ex.v + 0.0 AS value
+          FROM ex
+          JOIN raw r ON r.doc_id = ex.doc_id AND r.dim = ex.dim
+          JOIN nrm n2 ON n2.doc_id = ex.doc_id
+          WHERE abs((CASE WHEN n2.nn = 0 THEN r.r ELSE r.r / n2.nn END) - ex.v)
+                  <= 1e-6""",
 
     // M7 — every PCA coordinate replayed from q65's export: y = Wᵀx over
     // the full-precision normalized LSA projection (part='proj') and the
     // component matrix (part='pc'). No centering — MLlib's transform
-    // multiplies the raw vector (probed; LsaSpec pins it too).
+    // multiplies the raw vector (probed; LsaSpec pins it too). Same
+    // echo-with-tolerance shape as q44: the output values are the engine's
+    // own exported full-precision coordinates (part='pcproj'), kept only
+    // where the recomputed Wᵀx agrees within 1e-6 — a deviating coordinate
+    // NULLs its doc row and fails the hash compare.
     "q49_pca" ->
       """WITH pj AS (SELECT i AS doc_id, j AS dim, value AS v
                      FROM read_parquet('__VERIFY_OUT__/q65_lsa_model/*.parquet')
@@ -2255,11 +2513,17 @@ object SparkEntry {
                 FROM read_parquet('__VERIFY_OUT__/q65_lsa_model/*.parquet')
                 WHERE part = 'pc'),
          prod AS (SELECT pj.doc_id, pc.pcx, sum(pj.v * pc.w) AS p
-                  FROM pj JOIN pc USING (dim) GROUP BY 1, 2)
+                  FROM pj JOIN pc USING (dim) GROUP BY 1, 2),
+         ex AS (SELECT i AS doc_id, j AS pcx, value AS v
+                FROM read_parquet('__VERIFY_OUT__/q65_lsa_model/*.parquet')
+                WHERE part = 'pcproj'),
+         chk AS (SELECT ex.doc_id, ex.pcx, ex.v
+                 FROM ex JOIN prod p ON p.doc_id = ex.doc_id AND p.pcx = ex.pcx
+                 WHERE abs(p.p - ex.v) <= 1e-6)
          SELECT doc_id,
-           round(max(CASE WHEN pcx = 0 THEN p END), 4) + 0.0 AS pc1,
-           round(max(CASE WHEN pcx = 1 THEN p END), 4) + 0.0 AS pc2
-         FROM prod GROUP BY 1""",
+           max(CASE WHEN pcx = 0 THEN v END) + 0.0 AS pc1,
+           max(CASE WHEN pcx = 1 THEN v END) + 0.0 AS pc2
+         FROM chk GROUP BY 1""",
 
     // M2 — VᵀV recomputed in SQL from q65's exported loadings while the
     // engine computes it from the in-memory model matrix: a green row
@@ -2316,6 +2580,54 @@ object SparkEntry {
                 WHERE d.weight = mx.m GROUP BY 1)
          SELECT d.doc_id, d.topic, d.weight, (d.topic = f.t0) AS dominant
          FROM dt d JOIN fm f USING (doc_id)""",
+
+    // M18 — the perplexity BRACKET recomputed in SQL (round-5 VERDICT #6):
+    // take the fit as given (φ echoed from this query's own export, θ from
+    // q52's), rebuild the engine's BOW (the q44 vocab chain), compute the
+    // plugin cross-entropy −Σ cnt·ln(Σₖ θ̂·φ)/Σ cnt and the ln(V)+margin
+    // ceiling, and emit an independent 'sane' verdict — the hash matches
+    // only if DuckDB's own bracket also contains the reported value. The
+    // verdict is a boolean ~0.1+ nats from either boundary, so cross-engine
+    // float-sum noise (~1e-12) cannot flip it (the engine `require`s 1e-6
+    // separation and fails loudly instead).
+    "q55_lda_perplexity" ->
+      s"""WITH ex AS (SELECT part, i, j, value
+                      FROM read_parquet('__VERIFY_OUT__/q55_lda_perplexity/*.parquet')),
+          toks AS (
+            SELECT doc_id, unnest($OracleTokens) AS token FROM documents),
+          stats AS (
+            SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          vocab AS (
+            SELECT token, df,
+              CAST(row_number() OVER (ORDER BY df DESC, token ASC) - 1 AS BIGINT) AS id
+            FROM stats, n WHERE df >= 2 AND df <= 0.9 * n_docs),
+          bow AS (
+            SELECT doc_id, id AS token_id, count(*) AS cnt
+            FROM toks JOIN vocab USING (token) GROUP BY 1, 2),
+          theta AS (SELECT doc_id, topic, weight
+                    FROM read_parquet('__VERIFY_OUT__/q52_lda/*.parquet')),
+          phi AS (SELECT CAST(i AS INT) AS topic, CAST(j AS BIGINT) AS token_id,
+                    value AS phi
+                  FROM ex WHERE part = 'phi'),
+          mix AS (
+            SELECT b.doc_id, b.token_id, any_value(b.cnt) AS cnt,
+              sum(t.weight * p.phi) AS m
+            FROM bow b
+            JOIN theta t ON t.doc_id = b.doc_id
+            JOIN phi p ON p.topic = t.topic AND p.token_id = b.token_id
+            GROUP BY 1, 2),
+          pl AS (SELECT -sum(cnt * ln(m)) / sum(cnt) AS plugin FROM mix),
+          vs AS (SELECT count(*) AS v FROM vocab),
+          st AS (SELECT value AS lp FROM ex WHERE part = 'stat')
+          SELECT part, i, j, value FROM ex WHERE part <> 'sane'
+          UNION ALL
+          SELECT 'sane', CAST(0 AS BIGINT), 0,
+            CASE WHEN (SELECT lp FROM st) > (SELECT plugin FROM pl)
+                  AND (SELECT lp FROM st)
+                        < ln((SELECT v FROM vs)) + $Q55UpperMargin
+            THEN 1.0 ELSE 0.0 END
+          FROM (SELECT 1)""",
 
     // M3 — distance-to-empirical-centroid replayed from the exported
     // assignments: per-cluster per-dim means, then euclidean distance
@@ -2420,6 +2732,64 @@ object SparkEntry {
               WHEN 1 THEN 117 + length(text)
               WHEN 3 THEN 41 + length(text) END AS span_end,
             'content' AS label
-          FROM documents WHERE doc_id % 4 <> 2"""
+          FROM documents WHERE doc_id % 4 <> 2""",
+
+    // q75 — the on-disk binaryFile gate replayed: the q63 pixel arithmetic,
+    // the q64 sample arithmetic and the q69 frame arithmetic for file ids
+    // 0..19, in the query's long form (kind, file_id, metric, value).
+    "q75_binary_source" ->
+      """WITH ipx AS (
+           SELECT CAST(s AS BIGINT) AS id, 4 + s % 4 AS w, 3 + s % 3 AS h,
+             x.x AS x, y.y AS y
+           FROM generate_series(0, 19) t(s)
+           JOIN generate_series(0, 6) x(x) ON x.x < 4 + s % 4
+           JOIN generate_series(0, 4) y(y) ON y.y < 3 + s % 3),
+         iagg AS (
+           SELECT id, any_value(w) AS w, any_value(h) AS h,
+             sum((id * 31 + y * 17 + x * 7) % 251) AS sr,
+             sum((id * 13 + y * 11 + x * 5) % 251) AS sg,
+             sum((id * 29 + y * 23 + x * 3) % 251) AS sb,
+             sum(((id * 31 + y * 17 + x * 7) % 251) * (y * w + x + 1)) AS wr
+           FROM ipx GROUP BY 1),
+         asm AS (
+           SELECT CAST(t.s AS BIGINT) AS id, i.i AS i,
+             ((t.s * 31 + i.i * 7) % 2003) - 1001 AS v
+           FROM generate_series(0, 19) t(s)
+           JOIN generate_series(0, 98) i(i) ON i.i < 50 + t.s % 50),
+         aagg AS (
+           SELECT id, count(*) AS n, sum(v) AS sv, sum(abs(v)) AS sa,
+             sum(v * (i + 1)) AS ws
+           FROM asm GROUP BY 1),
+         vf AS (
+           SELECT CAST(t.s AS BIGINT) AS id, f.f AS f
+           FROM generate_series(0, 19) t(s)
+           JOIN generate_series(0, 6) f(f) ON f.f < 3 + t.s % 4)
+         SELECT 'image' AS kind, id AS file_id, 'decoded' AS metric,
+           CAST(1 AS BIGINT) AS value FROM iagg
+         UNION ALL SELECT 'image', id, 'width', CAST(w AS BIGINT) FROM iagg
+         UNION ALL SELECT 'image', id, 'height', CAST(h AS BIGINT) FROM iagg
+         UNION ALL SELECT 'image', id, 'r_ppm',
+           CAST(sr * 1000000 // (w * h) AS BIGINT) FROM iagg
+         UNION ALL SELECT 'image', id, 'g_ppm',
+           CAST(sg * 1000000 // (w * h) AS BIGINT) FROM iagg
+         UNION ALL SELECT 'image', id, 'b_ppm',
+           CAST(sb * 1000000 // (w * h) AS BIGINT) FROM iagg
+         UNION ALL SELECT 'image', id, 'r_wsum', CAST(wr AS BIGINT) FROM iagg
+         UNION ALL SELECT 'audio', id, 'decoded', CAST(1 AS BIGINT) FROM aagg
+         UNION ALL SELECT 'audio', id, 'sample_rate', CAST(8000 AS BIGINT) FROM aagg
+         UNION ALL SELECT 'audio', id, 'n_samples', CAST(n AS BIGINT) FROM aagg
+         UNION ALL SELECT 'audio', id, 'sum_pcm', CAST(sv AS BIGINT) FROM aagg
+         UNION ALL SELECT 'audio', id, 'sum_abs_pcm', CAST(sa AS BIGINT) FROM aagg
+         UNION ALL SELECT 'audio', id, 'wsum_pcm', CAST(ws AS BIGINT) FROM aagg
+         UNION ALL SELECT 'video', id, printf('f%02d_level', f),
+           CAST((id * 7 + f * 13) % 8 AS BIGINT) FROM vf
+         UNION ALL SELECT 'video', id, 'n_frames', CAST(count(*) AS BIGINT)
+           FROM vf GROUP BY id""",
+
+    // q76 — the streaming twin must land on exactly the batch contract:
+    // per-turn text equality (q30's oracle, verbatim).
+    "q76_streaming_extract" ->
+      s"""SELECT $OracleConvId AS conv_id, $OracleTurnIdx AS turn_idx, text
+          FROM documents"""
   )
 }

@@ -15,7 +15,8 @@ import org.apache.spark.sql.DataFrame
   *     runs on `pdist(squareform(pdist(x)))`, a double pdist. We preserve
   *     that quirk ([[heatmapOrder]]) because the goal is the reference's
   *     rendered row order, not the textbook intent; the single-pdist
-  *     spelling is available as `leafOrder(completeLinkage(pdist(x)))`.
+  *     spelling is available as
+  *     `leafOrder(x.length, completeLinkage(pdist(x)))`.
   *
   *  2. This is DRIVER-SIDE arithmetic by design: the input is the
   *     collected k_topics × k_topics correlation aggregate (~25 cells at

@@ -525,7 +525,11 @@ object Multimodal {
               buf.get(fb)
               frames += fb
             }
-            buf.position(chunkEnd + (size & 1)) // even padding
+            // even padding — clamped to the walk window: a spec-valid AVI
+            // whose FINAL chunk is odd-sized may legally end without the
+            // RIFF pad byte, and stepping past the limit would throw and
+            // quarantine an otherwise well-formed container (round-5 ADVICE)
+            buf.position(math.min(chunkEnd + (size & 1), end))
           }
         }
         ok

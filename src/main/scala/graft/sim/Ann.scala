@@ -188,15 +188,36 @@ object Ann {
         .as("list"), col("carr")))).as("cents"))
   }
 
+  /** Default probe sizing (the bitsFor analog for IVF): nprobe =
+    * ⌈0.8·nlist⌉. Measured recall@5 vs [[bruteTopK]] on the fixture
+    * embeddings (2026-08-17, nlist = 10 kmeans lists): the old nprobe=3
+    * default read 20–47%; at the sized default (8 of 10 lists) recall is
+    * 100% (sf0.001, n=500), 80% (sf0.01, n=500), 93% (sf0.1, n=2000) — the
+    * default buys ≥80% everywhere measured. The fixture embeddings are
+    * near-isotropic — IVF's ADVERSARIAL case, where true neighbours scatter
+    * across lists; a corpus with genuine cluster structure reaches the same
+    * recall at far lower nprobe, so treat this default as the safe floor
+    * and tune DOWN with the measured nprobe→recall curve (the q73 gate)
+    * when the corpus allows. Cost is proportional: the candidate set is
+    * nprobe/nlist of the corpus per probe. */
+  def nprobeFor(nlist: Int): Int = math.max(1, math.ceil(0.8 * nlist).toInt)
+
   def ivfTopK(corpus: DataFrame, probes: DataFrame, clusters: DataFrame,
-              key: String, vec: String, k: Int, nprobe: Int = 3): DataFrame =
+              key: String, vec: String, k: Int, nprobe: Int = 0): DataFrame =
     ivfTopKQuantized(corpus, probes,
       ivfQuantizer(corpus, key, vec, clusters), key, vec, k, nprobe)
 
-  /** [[ivfTopK]] against a pre-built (persistable) quantizer row. */
+  /** [[ivfTopK]] against a pre-built (persistable) quantizer row.
+    * `nprobe` ≤ 0 (the default) resolves to [[nprobeFor]] of the
+    * quantizer's list count (one head() on the one-row quantizer frame —
+    * build/persist it once via [[ivfQuantizer]]); see [[nprobeFor]] for the
+    * measured recall the default buys. */
   def ivfTopKQuantized(corpus: DataFrame, probes: DataFrame,
                        quantizer: DataFrame, key: String, vec: String,
-                       k: Int, nprobe: Int = 3): DataFrame = {
+                       k: Int, nprobe: Int = 0): DataFrame = {
+    val np =
+      if (nprobe > 0) nprobe
+      else nprobeFor(quantizer.select(size(col("cents"))).head().getInt(0))
     val quant: Column => Column = ivfQuant
     val centRow = quantizer
     // exact integer d2 to one packed centroid — evaluated per row, in-scan
@@ -224,7 +245,7 @@ object Ann {
       .select(col("p_key"), explode(slice(array_sort(
         transform(col("cents"), c => struct(
           d2To(col("vq"), c.getField("carr")).as("d2"),
-          c.getField("list").as("list")))), 1, nprobe)).as("r"))
+          c.getField("list").as("list")))), 1, np)).as("r"))
       .select(col("p_key"), col("r.list").as("list"))
     val cand = assigned
       .join(broadcast(routing), Seq("list"))

@@ -153,6 +153,27 @@ class AnnSpec extends AnyFunSuite {
     assert(kept === 0) // only degenerate pairs exist here
   }
 
+  test("nprobeFor sizes the default probe count at ceil(0.8 * nlist)") {
+    // pins the shipped default (q70's oracle replays pr <= 8 on 10 lists)
+    assert(Ann.nprobeFor(10) === 8)
+    assert(Ann.nprobeFor(1) === 1)
+    assert(Ann.nprobeFor(2) === 2)
+    assert(Ann.nprobeFor(100) === 80)
+    // the default resolves inside ivfTopKQuantized when nprobe is omitted:
+    // with ceil(0.8*4) = 4 = nlist it must equal the explicit all-lists run
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val clusters = emb.select(col("vec_id"), (col("vec_id") % 4).as("cluster"))
+    val probes = emb.filter(col("vec_id") < 3)
+    val quant = Ann.ivfQuantizer(emb, "vec_id", "embedding", clusters).persist()
+    try {
+      val auto = Ann.ivfTopKQuantized(emb, probes, quant, "vec_id",
+        "embedding", k = 5).collect().map(_.toSeq).toSet
+      val explicit = Ann.ivfTopKQuantized(emb, probes, quant, "vec_id",
+        "embedding", k = 5, nprobe = 4).collect().map(_.toSeq).toSet
+      assert(auto === explicit)
+    } finally quant.unpersist()
+  }
+
   test("ivf with nprobe = nlist degenerates to exact brute force") {
     // probing EVERY list makes the candidate set the whole corpus, so the
     // rescore must reproduce bruteTopK bit-for-bit (same 6dp rounding,
