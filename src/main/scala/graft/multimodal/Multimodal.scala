@@ -40,8 +40,10 @@ object Multimodal {
     * the reference's os.listdir + per-file open re-expressed as a Spark
     * data source (reference: modules/image_ocr.py:11-36 walks a TIFF dir
     * and shells tesseract per file). Media kind/codec come from the file
-    * extension; width/height/duration stay 0 until the (stubbed) decode
-    * stage fills them. Round 1 only had the synthetic stand-in. */
+    * extension; width/height/duration stay 0 until the decode stage fills
+    * them. Round 1 only had the synthetic stand-in; round 6 put THIS path
+    * under the driver gate (q75: real BMP/WAV/AVI fixture files on disk →
+    * binaryFile → kind routing → the real q63/q64/q69 decoders). */
   def fromBinaryFiles(spark: SparkSession, dir: String): DataFrame = {
     // extension comes from the BASENAME: splitting the full path on '.'
     // made any dotted directory ('/data/v1.2/img0001') or extensionless
