@@ -82,6 +82,51 @@ object SparkEntry {
     * ≥20× headroom over the measured excess while still rejecting any fit
     * that does materially worse than uniform. */
   private val Q55UpperMargin = 1.0
+
+  /** q77's hash-min round count — must cover the largest component
+    * diameter in the q51 near-dup graph at every gated sf (the engine
+    * `require`s the fixpoint; the oracle unrolls exactly this many
+    * rounds). */
+  private val CcIters = 6
+
+  /** The q77 oracle's unrolled hash-min rounds, generated from [[CcIters]]
+    * so engine and SQL can never disagree on the round count: round i
+    * computes per-node neighbour-min over round i−1's labels and takes the
+    * elementwise min. */
+  private val OracleCcRounds: String =
+    (1 to CcIters).map { i =>
+      s"""n$i AS (SELECT e.src AS vec_id, min(l.c) AS m
+           FROM sym e JOIN l${i - 1} l ON l.vec_id = e.dst GROUP BY 1),
+         l$i AS (SELECT l.vec_id, least(l.c, coalesce(n.m, l.c)) AS c
+           FROM l${i - 1} l LEFT JOIN n$i n USING (vec_id))"""
+    }.mkString(",\n         ")
+
+  /** The q79 oracle, generated from [[graft.textstats.TextStats
+    * .RedactionRules]] — same patterns, same order, same
+    * count-on-current-text semantics; only the regex engine differs (RE2
+    * vs Java), which the rules are constructed to make irrelevant. */
+  private val OracleRedactSql: String = {
+    val rules = graft.textstats.TextStats.RedactionRules
+    val chain = rules.zipWithIndex.map { case ((name, re, repl), i) =>
+      val carried = rules.take(i).map(r => s"n_${r._1}").map(n => s", $n")
+        .mkString
+      s"""r${i + 1} AS (SELECT doc_id,
+           regexp_replace(t$i, '$re', '$repl', 'g') AS t${i + 1},
+           CAST(len(regexp_extract_all(t$i, '$re')) AS BIGINT) AS n_$name$carried
+         FROM r$i)"""
+    }.mkString(",\n         ")
+    val lastT = s"t${rules.size}"
+    val countCols = rules.map(r => s"n_${r._1}").mkString(", ")
+    s"""WITH r0 AS (SELECT doc_id,
+           'contact a' || doc_id || '@ex' || (doc_id % 7) || '.com ip 10.0.'
+           || (doc_id % 256) || '.' || (doc_id % 100)
+           || ' key ' || lpad(hex(doc_id * 2654435761), 32, '0')
+           || ' acct ' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+           || ' ' || text AS t0
+         FROM documents),
+         $chain
+         SELECT doc_id, $lastT AS text, $countCols FROM r${rules.size}"""
+  }
   /** The P2–P7 chain over an arbitrary text EXPRESSION — parameterized so
     * q67 can feed it the P1-folded text (`translate(...)`), while every
     * ASCII-corpus query keeps the bare `text` spelling via [[OracleTokens]]
@@ -272,19 +317,20 @@ object SparkEntry {
       Ann.ivfQuantizer(emb, "vec_id", "embedding", clusters).persist()
     })
 
-  /** ONE persisted result frame per (session, sf, name) for the three gated
-    * ANN paths (q27 brute / q47 LSH / q70 IVF): q72's recall metric and
-    * q73's nprobe curve consume all three, and without sharing one
-    * Verify/Bench sweep re-ran the exact O(n·probes) corpus scan three
-    * times and the approximate paths twice (round-5 ADVICE). The frames are
-    * tiny (probes × k rows); what's saved is the corpus scan behind each.
-    * Released in [[releaseShared]]. */
-  private val sharedAnnResults = new java.util.concurrent.ConcurrentHashMap[
+  /** ONE persisted result frame per (session, sf, name) for queries whose
+    * results other queries (or their own convergence checks) re-consume:
+    * the three ANN paths (q27 brute / q47 LSH / q70 IVF — q72's recall and
+    * q73's curve consume all three; without sharing, one Verify/Bench
+    * sweep re-ran the exact O(n·probes) corpus scan three times — round-5
+    * ADVICE) and the q77 component labels (the converged() fixpoint check
+    * re-reads them). The frames are tiny; what's saved is the corpus work
+    * behind each. Released in [[releaseShared]]. */
+  private val sharedResults = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
 
-  private def annShared(s: SparkSession, dir: String, name: String)
-                       (build: => DataFrame): DataFrame =
-    sharedAnnResults.computeIfAbsent((s, dir, name), _ => build.persist())
+  private def sharedResult(s: SparkSession, dir: String, name: String)
+                          (build: => DataFrame): DataFrame =
+    sharedResults.computeIfAbsent((s, dir, name), _ => build.persist())
 
   /** q74's quality-gated, exact-deduped intermediate, persisted so the
     * MinHash LSH self-join and the final anti-join read ONE materialization
@@ -320,7 +366,7 @@ object SparkEntry {
     })._1
 
   def releaseShared(s: SparkSession): Unit = {
-    val ait = sharedAnnResults.entrySet().iterator()
+    val ait = sharedResults.entrySet().iterator()
     while (ait.hasNext) {
       val e = ait.next()
       if (e.getKey._1 eq s) { e.getValue.unpersist(); ait.remove() }
@@ -671,7 +717,7 @@ object SparkEntry {
     // T2/M9 — brute-force cosine top-k for a small probe set. Shared
     // persisted result: q72's recall and q73's curve both consume the exact
     // top-k, and each re-run was a full corpus scan (round-5 ADVICE).
-    "q27_ann_topk" -> ((s, dir) => annShared(s, dir, "brute") {
+    "q27_ann_topk" -> ((s, dir) => sharedResult(s, dir, "brute") {
       val emb = t(s, dir, "embeddings")
       Ann.bruteTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
     }),
@@ -812,7 +858,7 @@ object SparkEntry {
     // 10 lists) — the round-5 VERDICT #5 fix: the old explicit nprobe=3
     // gave a 20–47% recall ANN with no warning; the default path under the
     // gate now reads ≥80% recall at every sf (q72 checks the number).
-    "q70_ann_ivf" -> ((s, dir) => annShared(s, dir, "ivf") {
+    "q70_ann_ivf" -> ((s, dir) => sharedResult(s, dir, "ivf") {
       val (_, emb) = kmeansFitted(s, dir)
       // the oracle replays exactly 8 probed lists (pr <= 8) — fail LOUDLY
       // if the sizing rule ever drifts (round-3 ADVICE class)
@@ -971,6 +1017,75 @@ object SparkEntry {
       s.read.parquet(s"$run/out").select("conv_id", "turn_idx", "text")
     }),
 
+    // Dup-cluster assembly — the step a production dedup pipeline runs
+    // AFTER candidate generation: connected components (hash-min label
+    // propagation, CcIters rounds) over the q51 embedding near-dup pair
+    // graph. "Keep min(key) per component" generalizes the pairwise
+    // greedy-by-id rule to transitive chains (A≈B, B≈C dedupe to ONE
+    // keeper even when A≉C). Every round is deterministic integer math,
+    // so the oracle replays the edge build (q51's SQL) and every round;
+    // the engine ASSERTS the fixpoint (one extra round changes nothing)
+    // so CcIters covering the component diameters is checked, not hoped.
+    // Threshold 0.4 (vs q51's 0.3): measured hash-min depth at 0.3 is
+    // 8/18/19 rounds across the sfs (long chains — exactly the regime
+    // where production swaps in large-star/small-star), while 0.4 keeps a
+    // real transitive graph (197 edges, 5 rounds, 2000→1803 components at
+    // sf0.1) inside a 6-round unroll the oracle can replay.
+    "q77_dup_components" -> ((s, dir) => sharedResult(s, dir, "cc") {
+      val emb = t(s, dir, "embeddings")
+      val edges = Dedup.embeddingDupLsh(emb, "vec_id", "embedding",
+          threshold = 0.4, dim = 64, bits = 4)
+        .select(col("key_a").as("src"), col("key_b").as("dst"))
+        .persist()
+      val labels = Dedup.connectedComponents(
+        emb.select(col("vec_id")), "vec_id", edges, iters = CcIters).persist()
+      require(Dedup.converged(labels, "vec_id", edges),
+        s"q77: hash-min did not converge in $CcIters rounds — a component's " +
+          "diameter outgrew the oracle's unrolled replay; raise CcIters " +
+          "in BOTH places or switch to large-star/small-star")
+      edges.unpersist()
+      labels
+    }),
+
+    // Sequence packing — the GPT-style concat-and-split block map
+    // (corpus.Packing): docs concatenated in doc_id order with one EOS
+    // each, cut into 256-token blocks; output maps every doc to the
+    // block(s) its global token span [start_tok, end_tok) touches. The
+    // operator is a DISTRIBUTED prefix sum (bucketed two-pass cumsum —
+    // never a global single-partition window; bucketSize=128 keeps
+    // multiple buckets live at the gated sfs so the two-pass path is what
+    // is checked). Integer-only, so the oracle replays it with a plain
+    // SQL running sum.
+    "q78_seq_packing" -> ((s, dir) =>
+      graft.corpus.Packing.packSpans(t(s, dir, "documents"), "doc_id",
+        "text", blockTokens = 256, bucketSize = 128)),
+
+    // PII redaction — the curation stage that runs before any text leaves
+    // the pipeline (TextStats.redactPii): emails, 32+-char hex blobs,
+    // IPv4s and 7+-digit runs replaced by typed placeholders with
+    // per-kind counts. The fixture corpus is PII-free, so every doc is
+    // seeded with a deterministic PII sentence built from its id (the q67
+    // pattern) — the gate proves the PATTERNS and their order, not just
+    // the plumbing. Patterns are RE2-safe by construction; the oracle
+    // applies the same rules from the same shared table.
+    "q79_pii_redact" -> ((s, dir) => {
+      val d = col("doc_id")
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("contact a"), d.cast("string"),
+          lit("@ex"), pmod(d, lit(7)).cast("string"),
+          lit(".com ip 10.0."), pmod(d, lit(256)).cast("string"),
+          lit("."), pmod(d, lit(100)).cast("string"),
+          lit(" key "), lpad(hex(d * lit(2654435761L)), 32, "0"),
+          lit(" acct "), lpad(d.cast("string"), 9, "0"),
+          lit(" "), col("text")).as("text"))
+      seeded.select(col("doc_id"),
+          graft.textstats.TextStats.redactPii(col("text")).as("r"))
+        .select(col("doc_id"), col("r.redacted").as("text"),
+          col("r.n_emails"), col("r.n_hexkeys"), col("r.n_ips"),
+          col("r.n_numruns"))
+    }),
+
     // SimHash near-dup — md5-portable 32-bit signature so DuckDB replays it;
     // maxHamming=3 < bands=4 makes the banded join pigeonhole-EXACT, i.e.
     // identical to the oracle's all-pairs scan (round-1 bug: radius 16 over
@@ -1123,7 +1238,7 @@ object SparkEntry {
     // sign-pattern, probes also visit every Hamming-1 bucket, same-bucket
     // pairs score, dedup, window top-k. Round-2 VERDICT #5: the 100 TB ANN
     // path ran spec-only — now driver-gated end to end.
-    "q47_ann_lsh" -> ((s, dir) => annShared(s, dir, "lsh") {
+    "q47_ann_lsh" -> ((s, dir) => sharedResult(s, dir, "lsh") {
       val emb = t(s, dir, "embeddings")
       val bits = Ann.bitsFor(emb.count()) // 4 for every testdata sf (n ≤ 4096)
       // the oracle replays exactly 4 hyperplanes (generate_series(0,3)) —
@@ -2790,6 +2905,66 @@ object SparkEntry {
     // per-turn text equality (q30's oracle, verbatim).
     "q76_streaming_extract" ->
       s"""SELECT $OracleConvId AS conv_id, $OracleTurnIdx AS turn_idx, text
-          FROM documents"""
+          FROM documents""",
+
+    // q77 — dup clusters replayed end to end: the q51 candidate-pair build
+    // (deterministic hyperplane buckets → same-bucket cosine ≥ 0.3), edge
+    // symmetrization, then EXACTLY CcIters unrolled hash-min rounds — the
+    // same deterministic min the engine iterates (the engine additionally
+    // asserts the fixpoint, so "enough rounds" is checked on both sides).
+    "q77_dup_components" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         proj AS (
+           SELECT vec_id, b.b AS b,
+             list_dot_product(e, list_transform(generate_series(0, 63),
+               d -> CAST((b.b*64 + d) * 2654435761 % 1024 - 512 AS DOUBLE))) AS pr
+           FROM v CROSS JOIN generate_series(0, 3) b(b)),
+         bkt AS (
+           SELECT vec_id, CAST(sum(CASE WHEN pr > 0
+             THEN (1 << CAST(b AS INT)) ELSE 0 END) AS INT) AS bucket
+           FROM proj GROUP BY 1),
+         w AS (SELECT v.vec_id, v.e, bkt.bucket FROM v JOIN bkt USING (vec_id)),
+         pairs AS (SELECT * FROM (
+           SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+             round(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+           FROM w a JOIN w b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           WHERE cos >= 0.4),
+         sym AS (SELECT key_a AS src, key_b AS dst FROM pairs
+                 UNION ALL SELECT key_b AS src, key_a AS dst FROM pairs),
+         l0 AS (SELECT vec_id, vec_id AS c FROM embeddings),
+         $OracleCcRounds
+         SELECT vec_id, CAST(c AS BIGINT) AS component FROM l$CcIters""",
+
+    // q78 — the block map replayed with a plain SQL running sum: token
+    // count = whitespace tokens + 1 EOS, inclusive cumsum in doc_id order,
+    // span [cum−n, cum), one row per 256-token block the span touches.
+    // Integer-only — the engine's bucketed two-pass prefix sum must land
+    // on exactly these numbers.
+    "q78_seq_packing" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+               t -> length(t) > 0)) + 1 AS BIGINT) AS n
+           FROM documents),
+         c AS (
+           SELECT doc_id, n,
+             sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM d),
+         s AS (SELECT doc_id, CAST(cum - n AS BIGINT) AS st,
+                 CAST(cum AS BIGINT) AS en FROM c)
+         SELECT CAST(unnest(generate_series(st // 256, (en - 1) // 256))
+             AS BIGINT) AS pack_id,
+           doc_id, CAST(st AS BIGINT) AS start_tok, CAST(en AS BIGINT) AS end_tok
+         FROM s""",
+
+    // q79 — the redaction chain replayed rule-for-rule from the SAME
+    // shared pattern table (TextStats.RedactionRules — interpolated, so
+    // the SQL cannot drift from the engine), counts taken on the text as
+    // it stands when each rule fires, RE2 ≡ Java regex by pattern
+    // construction.
+    "q79_pii_redact" -> OracleRedactSql
   )
 }

@@ -329,4 +329,66 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a.k").as("key_a"), col("b.k").as("key_b"), col("cos"))
   }
+
+  // ------------------------------------------------- dup-cluster components
+
+  /** Connected components over an undirected near-dup pair list — the
+    * canonical dedup-clustering step production pipelines run AFTER
+    * candidate generation: a component is one duplicate cluster, and "keep
+    * min(key) per component" generalizes the pairwise greedy-by-id rule to
+    * transitive chains (A≈B, B≈C dedupe to ONE keeper even when A≉C).
+    *
+    * Algorithm: hash-min label propagation — every node starts labeled
+    * with its own key; each round, a node takes the min of its own label
+    * and its neighbours' labels. After `iters` rounds every node within
+    * graph distance `iters` of its component's minimum carries that
+    * minimum. Fully deterministic (min is order-free), so a SQL oracle can
+    * replay the rounds exactly.
+    *
+    * Scale shape: one round = one keyed join + one partial-agg min — the
+    * LabelProp pattern of bounded keyed shuffles, no driver state. Rounds
+    * needed = component diameter; near-dup clusters from banded LSH are
+    * clique-dense, so small fixed `iters` converges in practice — and
+    * [[converged]] checks a fixpoint cheaply (one extra round, count of
+    * changed labels) so a pipeline can assert rather than assume. For
+    * adversarial long-chain graphs at 10^12 edges, swap the per-round rule
+    * for large-star/small-star (O(log n) rounds) — same frame contract.
+    *
+    * Input: `nodes` carrying `key`; `edges` carrying (src, dst) pairs (one
+    * direction suffices — symmetrized here). Output: (key, component)
+    * where component = min key reachable within `iters` hops. */
+  def connectedComponents(nodes: DataFrame, key: String, edges: DataFrame,
+                          iters: Int): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = nodes.select(col(key), col(key).as("component"))
+    (1 to iters).foreach { _ => labels = ccRound(labels, key, sym) }
+    labels
+  }
+
+  /** One hash-min round: label := min(label, min over neighbours). */
+  private def ccRound(labels: DataFrame, key: String,
+                      sym: DataFrame): DataFrame = {
+    val nbrMin = sym
+      .join(labels.select(col(key).as("dst"), col("component").as("c")), "dst")
+      .groupBy(col("src").as(key)).agg(min(col("c")).as("nbr_min"))
+    labels.join(nbrMin, Seq(key), "left_outer")
+      .select(col(key),
+        least(col("component"), coalesce(col("nbr_min"), col("component")))
+          .as("component"))
+  }
+
+  /** True iff one more hash-min round changes nothing — the fixpoint check
+    * a pipeline runs to ASSERT `iters` covered the component diameters
+    * instead of silently shipping split clusters. Cost: one extra round +
+    * a count. */
+  def converged(labels: DataFrame, key: String, edges: DataFrame): Boolean = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val next = ccRound(labels.select(col(key), col("component")), key, sym)
+    labels.select(col(key), col("component").as("c0"))
+      .join(next, Seq(key))
+      .filter(col("component") =!= col("c0"))
+      .isEmpty
+  }
 }

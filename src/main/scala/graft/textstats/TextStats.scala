@@ -95,4 +95,39 @@ object TextStats {
     * the drift that broke the streaming digest). */
   def md5Fingerprint(text: Column): Column =
     graft.dedup.Dedup.fingerprint(text)
+
+  // ----------------------------------------------------------- PII redaction
+
+  /** The redaction pattern table — ORDER MATTERS and is part of the
+    * contract: emails first (their local parts contain digit runs), then
+    * long hex blobs (API keys/hashes — before digit runs, because an
+    * all-digit 32-char blob is both), then IPv4 (its 1–3 digit octets are
+    * too short for the digit-run rule but must not be half-eaten by it),
+    * then standalone long digit runs (phone/account-shaped). Every pattern
+    * is RE2-SAFE (plain character classes, `\b`, bounded repeats — no
+    * lookaround, no backreferences) so Java regex (engine) and RE2
+    * (DuckDB oracle) agree match-for-match. */
+  val RedactionRules: Seq[(String, String, String)] = Seq(
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("hexkeys", "\\b[0-9a-fA-F]{32,}\\b", "<HEX>"),
+    ("ips", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("numruns", "\\b[0-9]{7,}\\b", "<NUM>"))
+
+  /** PII redaction pass — the curation stage that runs BEFORE any text
+    * leaves the pipeline: emails, long hex blobs, IPv4s and long digit
+    * runs replaced by typed placeholders, applied in [[RedactionRules]]
+    * order. Each rule counts its matches on the text AS IT STANDS when the
+    * rule fires (post-prior-redactions), so counts are well-defined under
+    * overlap and identical cross-engine. Pure per-row column math — one
+    * scan, no shuffle, composes with the extraction kernel. Returns
+    * (redacted, n_emails, n_hexkeys, n_ips, n_numruns) as a struct. */
+  def redactPii(text: Column): Column = {
+    val (redacted, counts) = RedactionRules
+      .foldLeft((text, Seq.empty[Column])) {
+        case ((t, cs), (name, re, repl)) =>
+          (regexp_replace(t, re, repl),
+            cs :+ regexp_count(t, lit(re)).cast("long").as(s"n_$name"))
+      }
+    struct((redacted.as("redacted") +: counts): _*)
+  }
 }

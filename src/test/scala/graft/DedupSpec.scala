@@ -197,4 +197,25 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.size >= all.size / 2,
       s"LSH recall collapsed: ${lsh.size} of ${all.size}")
   }
+
+  test("connectedComponents: hash-min finds min-key per component") {
+    // chain 1-2-3-4 (diameter 3), clique 10-11-12, pair 20-21, isolates
+    val nodes = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L, 31L))
+      .toDF("doc_id")
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(nodes, "doc_id", edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 31L)
+    assert(got === want)
+    assert(Dedup.converged(
+      Dedup.connectedComponents(nodes, "doc_id", edges, 3), "doc_id", edges))
+    // too few rounds: the chain's far end hasn't met the minimum yet —
+    // and the fixpoint check reports exactly that instead of passing
+    val early = Dedup.connectedComponents(nodes, "doc_id", edges, 1)
+    assert(early.as[(Long, Long)].collect().toMap.apply(4L) === 3L)
+    assert(!Dedup.converged(early, "doc_id", edges))
+  }
 }
