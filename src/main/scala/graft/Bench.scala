@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   *     bandwidth knee (BASELINE.md "choosing the pairing"); 8→32 and 2→32
   *     are reported alongside, never substituted.
   *  2. Per-query wall times for every SparkEntry query at the driver-given
-  *     parallelism (fixed iteration order; one JIT warmup of the text
-  *     pipeline so codegen compilation isn't billed to the first query).
+  *     parallelism, two tiers in the audit JSON: `queries_cold` (first
+  *     pass — pays shared-artifact builds and plan-compile/JIT) and
+  *     `queries` (best of 2 subsequent passes — the incremental cost in a
+  *     warm session; for queries whose RESULT is a shared persisted frame
+  *     this is a cache read, so judge those by the cold tier).
   */
 object Bench {
 
@@ -138,18 +141,27 @@ object Bench {
     // warmup pass alone left residual JIT/host-ramp cold-start on whichever
     // queries ran first); best-of-2 bounds any per-query one-off.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    names.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () } }
     def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // The warmup pass is TIMED as the cold stat: several queries' results
+    // are shared persisted frames (the ANN trio, the q74 curation
+    // intermediate, the fits) that this pass materializes — a later "warm"
+    // pass over one of those times a cache count, not the operator. cold =
+    // first-ever cost incl. shared-artifact builds + plan compile/JIT;
+    // warm = incremental cost in a session whose shared artifacts are
+    // already materialized. BOTH land in the audit; neither is silently
+    // substituted for the other (round-6 review finding).
+    val cold = names.map { case (name, fn) => name -> timeOnce(fn) }
     val results = names.map { case (name, fn) =>
       name -> math.min(timeOnce(fn), timeOnce(fn))
     }
     def r3(x: Double) = math.rint(x * 1000) / 1000.0
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val qsCold = cold.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // headline = MEDIAN local[32] throughput (the deployment parallelism);
@@ -178,8 +190,9 @@ object Bench {
          |"samples_local8":${arr(samples(8))},
          |"samples_local32":${arr(samples(32))},
          |"eff_2_to_8_per_round":${effSameRound.map(r3).mkString("[", ",", "]")},
-         |"query_stat":"best of 2 timed passes after one untimed warmup pass",
+         |"query_stat":"queries = best of 2 warm passes in a session whose shared artifacts (fits, quantizer, shared result frames, curation intermediate) were materialized by the cold pass - the INCREMENTAL session cost; queries_cold = the first (cold) pass per query incl. shared-artifact builds and plan-compile/JIT - the first-ever cost. Shared-frame owners (q27/q47/q70/q74/q77, the fit tiers) are only meaningfully costed by queries_cold",
          |"queries":$qs,
+         |"queries_cold":$qsCold,
          |"bench_turns":$nTurns}""".stripMargin
     try {
       val p = java.nio.file.Paths.get(auditPath)

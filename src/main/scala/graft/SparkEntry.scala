@@ -249,11 +249,12 @@ object SparkEntry {
     })
 
   /** The full-precision PCA projection (doc_id, pc: Array[Double]) — ONE
-    * spelling consumed by BOTH q49 (which rounds it) and q65's 'pcproj'
-    * export (which the q49 oracle echoes): the transform is deterministic
-    * row math, so the exported doubles are bit-identical to the ones q49
-    * rounds, which is what makes the echo-with-tolerance oracle flake-free
-    * (round-5 ADVICE #1). */
+    * spelling consumed by BOTH q49 (which emits it at FULL precision) and
+    * q65's 'pcproj' export (which the q49 oracle echoes): the transform is
+    * deterministic row math, so the exported doubles are bit-identical to
+    * the ones q49 emits — no rounding happens ANYWHERE on this path, which
+    * is what makes the echo-with-tolerance oracle flake-free (round-5
+    * ADVICE #1). */
   private def pcaProjection(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val lsa = lsaProjection(s, dir)
@@ -506,6 +507,11 @@ object SparkEntry {
         Files.write(Paths.get(dir, f"vid_$id%04d.avi"), mm.aviBytes(id))
         ()
       }
+      // one codec-less blob exercising the 'binary' fallback kind UNDER
+      // the gate (the _READY marker can't: Spark's file index silently
+      // skips underscore-prefixed files — round-6 review finding)
+      Files.write(Paths.get(dir, "bin_0001.bin"),
+        Array[Byte](1, 2, 3, 4, 5, 6, 7))
       Files.write(Paths.get(dir, "_READY"), Array.emptyByteArray)
       ()
     }
@@ -953,9 +959,11 @@ object SparkEntry {
     // q63/q64/q69 gates pin, with the arithmetic keyed by the id embedded
     // in the FILENAME. One long-form schema (kind, file_id, metric, value)
     // so all three decode tiers share one oracle; a green row proves the
-    // whole bytes-on-disk → source → decode → features path. The _READY
-    // marker file exercises the 'binary' fallback kind (filtered out, as a
-    // deployment filters unknown blobs).
+    // whole bytes-on-disk → source → decode → features path. A codec-less
+    // .bin file rides along and surfaces as the 'binary' fallback kind —
+    // its n_bytes row is under the gate too, so the extension→kind routing
+    // of unknown blobs is checked, not assumed (the _READY marker can't do
+    // this: Spark file sources skip underscore-prefixed files).
     "q75_binary_source" -> ((s, dir) => {
       val mm = graft.multimodal.Multimodal
       val media = mm.fromBinaryFiles(s, q75Media(math.floorMod(dir.hashCode, 1 << 30)))
@@ -988,7 +996,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("value"))
         .select(lit("video").as("kind"), col("file_id"),
           lit("n_frames").as("metric"), col("value"))
-      img.unionAll(aud).unionAll(vid).unionAll(vidN)
+      val bin = media.filter(col("meta.kind") === "binary")
+        .select(lit("binary").as("kind"), col("file_id"),
+          lit("n_bytes").as("metric"), length(col("payload")).cast("long")
+            .as("value"))
+      img.unionAll(aud).unionAll(vid).unionAll(vidN).unionAll(bin)
     }),
 
     // STREAMING UNDER THE GATE (round-5 VERDICT #8 stretch): the documents-
@@ -1191,8 +1203,8 @@ object SparkEntry {
     //   part='loading': V(token_id, dim)   — the right singular vectors
     //   part='proj':    normalized projection(doc_id, dim) — what PCA reads
     //   part='pc':      W(lsa_dim, pc_idx) — the PCA component matrix
-    //   part='pcproj':  Wᵀx(doc_id, pc_idx) at FULL precision — the doubles
-    //                   q49 rounds, echoed by its tolerance oracle
+    //   part='pcproj':  Wᵀx(doc_id, pc_idx) at FULL precision — the same
+    //                   doubles q49 emits, echoed by its tolerance oracle
     // V and W are driver-local by design (vocab is keepN-capped; k×2 is
     // tiny) — the same scale argument as broadcasting them.
     "q65_lsa_model" -> ((s, dir) => {
@@ -2152,7 +2164,7 @@ object SparkEntry {
          FROM b LEFT JOIN ls ON ls.p_key = b.p_key AND ls.c_key = b.c_key
          GROUP BY 2""",
 
-    // q73 — the q70 IVF replay parametrized by nprobe ∈ {1,3,5}: same
+    // q73 — the q70 IVF replay parametrized by nprobe ∈ {1,3,5,8}: same
     // centroid/assignment/routing arithmetic from q40's export, candidate
     // top-5 per (nprobe, probe), recall vs q27's exact export, integer ppm.
     "q73_ivf_nprobe_curve" ->
@@ -2899,7 +2911,9 @@ object SparkEntry {
          UNION ALL SELECT 'video', id, printf('f%02d_level', f),
            CAST((id * 7 + f * 13) % 8 AS BIGINT) FROM vf
          UNION ALL SELECT 'video', id, 'n_frames', CAST(count(*) AS BIGINT)
-           FROM vf GROUP BY id""",
+           FROM vf GROUP BY id
+         UNION ALL SELECT 'binary', CAST(1 AS BIGINT), 'n_bytes',
+           CAST(7 AS BIGINT)""",
 
     // q76 — the streaming twin must land on exactly the batch contract:
     // per-turn text equality (q30's oracle, verbatim).
@@ -2941,11 +2955,13 @@ object SparkEntry {
     // count = whitespace tokens + 1 EOS, inclusive cumsum in doc_id order,
     // span [cum−n, cum), one row per 256-token block the span touches.
     // Integer-only — the engine's bucketed two-pass prefix sum must land
-    // on exactly these numbers.
+    // on exactly these numbers. The whitespace class is EXPLICIT on both
+    // sides (Packing.WsClass; RE2 `\s` omits \x0B where Java's includes
+    // it — round-6 review finding).
     "q78_seq_packing" ->
       """WITH d AS (
            SELECT doc_id,
-             CAST(len(list_filter(string_split_regex(text, '\s+'),
+             CAST(len(list_filter(string_split_regex(text, '[ \t\n\v\f\r]+'),
                t -> length(t) > 0)) + 1 AS BIGINT) AS n
            FROM documents),
          c AS (

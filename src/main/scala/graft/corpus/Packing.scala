@@ -29,10 +29,34 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Map each document to its training blocks.
+  /** The whitespace class, spelled EXPLICITLY instead of `\s`: Java's `\s`
+    * is `[ \t\n\x0B\f\r]` while RE2's (the DuckDB oracle engine) omits the
+    * vertical tab — a `\x0B` between words would tokenize differently
+    * cross-engine and shift every downstream span (round-6 review
+    * finding). The explicit class is bit-identical to Java `\s`, and its
+    * RE2 spelling (`[ \t\n\v\f\r]+`) matches it exactly. */
+  val WsClass = "[ \\t\\n\\x0B\\f\\r]+"
+
+  /** Pass 1 of the prefix sum: the narrow (key, n_tok, bucket) frame —
+    * token count = whitespace tokens + 1 (the EOS separator appended after
+    * every doc). Exposed separately because [[packSpansFromCounts]]
+    * consumes it TWICE (bucket totals + placement): at 10^12 rows, stage
+    * this frame (Scale.resumableWrite — the q74 materialize-between-stages
+    * discipline) or persist it, so the tokenize projection doesn't run two
+    * full corpus scans inside one job (round-6 review finding; at the
+    * gated sfs the recompute is three tiny columns and not worth a cache
+    * entry). */
+  def tokenCounts(docs: DataFrame, key: String, textCol: String,
+                  bucketSize: Long): DataFrame =
+    docs.select(col(key),
+      (size(filter(split(col(textCol), WsClass), t => length(t) > 0)) + 1)
+        .cast("long").as("n_tok"),
+      floor(col(key) / bucketSize).cast("long").as("bucket"))
+
+  /** Map each document to its training blocks — convenience composition of
+    * [[tokenCounts]] → [[packSpansFromCounts]] (production stages the
+    * counts frame between the two, see [[tokenCounts]]).
     *
-    * Input: `docs` with a numeric `key` column and `textCol`; token count =
-    * whitespace tokens + 1 (the EOS separator appended after every doc).
     * Output: (pack_id, key, start_tok, end_tok) — global token span
     * [start_tok, end_tok) of the doc in the concatenated stream, one row
     * per (doc, block) — a doc straddling a block boundary appears once per
@@ -40,10 +64,14 @@ object Packing {
   def packSpans(docs: DataFrame, key: String, textCol: String,
                 blockTokens: Int, bucketSize: Long = 4096L): DataFrame = {
     require(blockTokens > 0 && bucketSize > 0)
-    val counted = docs.select(col(key),
-      (size(filter(split(col(textCol), "\\s+"), t => length(t) > 0)) + 1)
-        .cast("long").as("n_tok"),
-      floor(col(key) / bucketSize).cast("long").as("bucket"))
+    packSpansFromCounts(tokenCounts(docs, key, textCol, bucketSize), key,
+      blockTokens)
+  }
+
+  /** The block map from a (possibly staged) [[tokenCounts]] frame. */
+  def packSpansFromCounts(counted: DataFrame, key: String,
+                          blockTokens: Int): DataFrame = {
+    require(blockTokens > 0)
     // pass 1: per-bucket totals, cumsum over the (tiny) bucket frame —
     // exclusive prefix: offset of bucket b = Σ totals of buckets < b
     val bucketOffsets = counted.groupBy("bucket")
