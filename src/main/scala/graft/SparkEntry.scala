@@ -1098,6 +1098,36 @@ object SparkEntry {
           col("r.n_numruns"))
     }),
 
+    // Benchmark decontamination (the n-gram-overlap rule of the GPT-3/
+    // Llama pretraining pipelines): docs with doc_id % 97 == 0 stand in as
+    // the eval suite; any other doc sharing a 4-token shingle with it is
+    // flagged with its hit count. The benchmark shingle set is BROADCAST
+    // (eval suites are tiny next to the corpus), so the corpus side is one
+    // scan + a map-side probe + one groupBy(doc_id) shuffle — never a
+    // corpus×corpus join. k=4 probed non-degenerate at every sf
+    // (8/8/727 contaminated of ~494/~494/~4948 docs).
+    "q80_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      graft.corpus.Curation.contaminated(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "tokens", k = 4)
+    }),
+
+    // Deterministic mixture sampling: downsample every language to (in
+    // expectation) the smallest language's share — lang is the one skewed
+    // grouping in the corpus (en ≈ 3× the rest; `source` is uniform by
+    // construction, probed). Rate-based (integer-ppm keep rates, portable
+    // md5 row priority), NOT an exact-n window: a per-group window over a
+    // handful of domains is a handful of giant skewed partitions at 100 TB,
+    // while the rate filter is a per-row predicate whose only shuffle is
+    // the tiny per-group count.
+    "q81_mix_sample" -> ((s, dir) =>
+      graft.corpus.Curation.sampleToBalanced(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang")),
+
     // SimHash near-dup — md5-portable 32-bit signature so DuckDB replays it;
     // maxHamming=3 < bands=4 makes the banded join pigeonhole-EXACT, i.e.
     // identical to the oracle's all-pairs scan (round-1 bug: radius 16 over
@@ -2981,6 +3011,35 @@ object SparkEntry {
     // the SQL cannot drift from the engine), counts taken on the text as
     // it stands when each rule fires, RE2 ≡ Java regex by pattern
     // construction.
-    "q79_pii_redact" -> OracleRedactSql
+    "q79_pii_redact" -> OracleRedactSql,
+
+    // q80 — same shingle slice semantics as the q28/q29 oracles (w[i:i+3]
+    // is 4 tokens; generate_series floor of 1 mirrors the engine's
+    // greatest(size-k, 0) truncated-shingle edge for short docs).
+    "q80_decontaminate" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - 3, 1)),
+             i -> array_to_string(w[i:i+3], ' ')))) AS sh
+           FROM d),
+         bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+         corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM corpus JOIN bench USING (sh) GROUP BY 1""",
+
+    // q81 — the row priority is the q29-oracle md5 arithmetic (first 8 hex
+    // chars as a 32-bit int); DuckDB `//` floors where Spark DIV truncates,
+    // identical on these non-negative counts.
+    "q81_mix_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+         m AS (SELECT min(cnt) AS mn FROM c),
+         r AS (SELECT lang, CAST(mn * 1000000 // cnt AS BIGINT) AS r_ppm
+               FROM c, m)
+         SELECT d.doc_id, d.lang
+         FROM documents d JOIN r USING (lang)
+         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000 < r_ppm"""
   )
 }

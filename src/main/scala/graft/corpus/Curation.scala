@@ -1,0 +1,79 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation passes beyond dedup: benchmark decontamination and
+  * mixture sampling — the two remaining steps a pretraining-data pipeline
+  * runs between near-dup pruning (q74) and sequence packing (q78).
+  *
+  * Both are deterministic and integer/ppm-exact so the DuckDB gate can
+  * replay them bit-for-bit (the house discipline: no RNG, no float
+  * thresholds crossing engines).
+  */
+object Curation {
+
+  /** Benchmark decontamination: flag corpus documents that share at least
+    * one k-token shingle with an evaluation ("benchmark") set, so they can
+    * be dropped before training — the n-gram-overlap rule published for
+    * GPT-3/Llama-style pretraining pipelines.
+    *
+    * Returns (key, n_hits): one row per CONTAMINATED corpus doc with the
+    * number of its distinct shingles that appear anywhere in the benchmark
+    * set. The caller anti-joins to clean (or audits the hit counts).
+    *
+    * Scale shape: the benchmark set is small by construction (eval suites
+    * are thousands of docs, the corpus is billions), so its distinct
+    * shingle set is broadcast — the corpus side is ONE scan with a
+    * map-side hash probe and a single groupBy(key) shuffle for the counts.
+    * Never a corpus×corpus join. Shingling reuses [[graft.dedup.Dedup
+    * .shingles]] (same slice semantics as the q28 Jaccard gate).
+    */
+  def contaminated(corpus: DataFrame, bench: DataFrame, key: String,
+                   tokens: String, k: Int): DataFrame = {
+    val benchShingles = bench
+      .select(explode(array_distinct(
+        graft.dedup.Dedup.shingles(col(tokens), k))).as("sh"))
+      .distinct()
+    corpus
+      .select(col(key), explode(array_distinct(
+        graft.dedup.Dedup.shingles(col(tokens), k))).as("sh"))
+      .join(broadcast(benchShingles), Seq("sh"))
+      .groupBy(key)
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Deterministic mixture sampling: downsample every group to (in
+    * expectation) the size of the SMALLEST group, yielding a balanced
+    * domain mixture. Keep-rate per group is integer ppm
+    * (min_count·10⁶ div count); a row is kept iff its portable md5
+    * priority (first 8 hex chars of md5(key) mod 10⁶ — the same
+    * cross-engine hash the MinHash md5 gate uses) falls under its
+    * group's rate.
+    *
+    * Rate-based, NOT exact-n: an exact per-group quota needs a window
+    * partitioned by group — with a handful of domains over a 100 TB corpus
+    * that is a handful of giant skewed partitions. The rate filter is a
+    * pure per-row predicate: the only shuffle is the tiny per-group count
+    * aggregate, which then rides back in as a broadcast join. The kept set
+    * is fully deterministic in the keys (no RNG), so the oracle replays it
+    * row-for-row.
+    *
+    * The input is scanned twice (counts, then filter) — at scale, stage or
+    * persist the narrow (key, group) projection between the passes, the
+    * same discipline as [[Packing.tokenCounts]].
+    */
+  def sampleToBalanced(df: DataFrame, key: String, group: String): DataFrame = {
+    val counts = df.groupBy(group).agg(count(lit(1)).as("cnt"))
+    val minCnt = counts.agg(min(col("cnt")).as("mn"))
+    val rates = counts.crossJoin(broadcast(minCnt))
+      .select(col(group),
+        expr("CAST(mn * 1000000 DIV cnt AS BIGINT)").as("r_ppm"))
+    val prio = pmod(
+      conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(1000000L))
+    df.join(broadcast(rates), Seq(group))
+      .filter(prio < col("r_ppm"))
+      .select(col(key), col(group))
+  }
+}

@@ -43,4 +43,41 @@ class CurationSpec extends AnyFunSuite {
     val out = run().select("doc_id").as[Long].collect().toSet
     assert(out.contains(q20))
   }
+
+  test("decontamination flags exactly the docs sharing a shingle, with counts") {
+    // bench doc "a b c d" (k=2 shingles: "a b" "b c" "c d"); corpus doc 10
+    // shares one ("a b"), doc 11 shares two ("c d" "a b"), doc 12 none
+    val mk = (id: Long, s: String) => (id, s)
+    val all = Seq(mk(0L, "a b c d"), mk(10L, "x a b y"),
+      mk(11L, "c d a b"), mk(12L, "p q r s"))
+      .toDF("doc_id", "text")
+      .withColumn("tokens", split(col("text"), " "))
+    val out = graft.corpus.Curation.contaminated(
+        all.filter(col("doc_id") =!= 0L), all.filter(col("doc_id") === 0L),
+        "doc_id", "tokens", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(10L -> 1L, 11L -> 2L))
+  }
+
+  test("balanced sampling: ppm rates from group counts, md5-priority row picks") {
+    // g1 has 4 rows, g2 has 2 → mn = 2, r(g1) = 500000 ppm, r(g2) = 1000000
+    // ppm (every g2 row survives: priorities live in [0, 1e6)). The kept g1
+    // rows are exactly those whose portable md5 priority clears the rate —
+    // recomputed here independently of Spark.
+    val rows = Seq(1L -> "g1", 2L -> "g1", 3L -> "g1", 4L -> "g1",
+      5L -> "g2", 6L -> "g2")
+    val df = rows.toDF("k", "g")
+    def prio(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hx = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hx, 16) % 1000000L
+    }
+    val expected = rows.filter { case (id, g) =>
+      prio(id) < (if (g == "g1") 500000L else 1000000L) }.toSet
+    val out = graft.corpus.Curation.sampleToBalanced(df, "k", "g")
+      .as[(Long, String)].collect().toSet
+    assert(out === expected)
+    assert(rows.filter(_._2 == "g2").toSet.subsetOf(out))
+  }
 }
