@@ -190,7 +190,7 @@ object Bench {
          |"samples_local8":${arr(samples(8))},
          |"samples_local32":${arr(samples(32))},
          |"eff_2_to_8_per_round":${effSameRound.map(r3).mkString("[", ",", "]")},
-         |"query_stat":"queries = best of 2 warm passes in a session whose shared artifacts (fits, quantizer, shared result frames, curation intermediate) were materialized by the cold pass - the INCREMENTAL session cost; queries_cold = the first (cold) pass per query incl. shared-artifact builds and plan-compile/JIT - the first-ever cost. Shared-frame owners (q27/q47/q70/q74/q77, the fit tiers) are only meaningfully costed by queries_cold",
+         |"query_stat":"queries = best of 2 warm passes in a session whose shared artifacts (fits, quantizer, shared result frames, curation intermediate) were materialized by the cold pass - the INCREMENTAL session cost; queries_cold = the first (cold) pass per query incl. shared-artifact builds and plan-compile/JIT - the first-ever cost. Shared-frame owners (q27/q47/q70/q74/q77/q82, the fit tiers) are only meaningfully costed by queries_cold",
          |"queries":$qs,
          |"queries_cold":$qsCold,
          |"bench_turns":$nTurns}""".stripMargin

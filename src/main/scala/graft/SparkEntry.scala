@@ -1128,6 +1128,52 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", "lang")),
 
+    // THE FULL CORPUS BUILD — every curation stage composed into the one
+    // job a pretraining run actually ships: q74's survivors (quality gate →
+    // exact dedup → MinHash near-dup prune, reused as the shared persisted
+    // frame) → benchmark decontamination (q80's broadcast shingle probe,
+    // here as an anti-join) → balanced-lang mixture sampling (q81's rate
+    // filter, rates over the CLEAN set) → GPT-style sequence packing
+    // (q78's distributed prefix sum) into 256-token blocks. The oracle
+    // replays the tail from q74's own gated export (the __VERIFY_OUT__
+    // cross-read pattern), so every stage boundary is pinned twice: once
+    // by its standalone gate, once inside the composition.
+    // Stage boundaries are PERSISTED shared frames (the q74 discipline —
+    // without them the lazy composition re-evaluates the whole upstream
+    // subtree on every reference and the plan reads `documents` ~25×):
+    // `base` is consumed by both the corpus-shingle probe and the
+    // anti-join, `clean` by the mixture-rate counts and the kept join,
+    // `counts` by both prefix-sum passes. With all three staged the job
+    // touches parquet twice (base build + benchmark shingles). At 10^12
+    // rows each boundary is a Scale.resumableWrite checkpoint instead.
+    "q82_corpus_build" -> ((s, dir) => {
+      val base = sharedResult(s, dir, "q82_base") {
+        queries("q74_curation")(s, dir).select("doc_id")
+          .join(t(s, dir, "documents"), Seq("doc_id"))
+          .select(col("doc_id"), col("text"), col("lang"),
+            split(col("text"), " ").as("tokens"))
+      }
+      val clean = sharedResult(s, dir, "q82_clean") {
+        val bench = t(s, dir, "documents")
+          .filter(col("doc_id") % 97 === 0)
+          .select(split(col("text"), " ").as("tokens"))
+        val contam = graft.corpus.Curation.contaminated(
+          base, bench, "doc_id", "tokens", k = 4).select("doc_id")
+        base.join(contam, Seq("doc_id"), "left_anti")
+          .select("doc_id", "text", "lang")
+      }
+      val kept = graft.corpus.Curation.sampleToBalanced(
+        clean.select(col("doc_id"), col("lang")), "doc_id", "lang")
+      val counts = sharedResult(s, dir, "q82_counts") {
+        graft.corpus.Packing.tokenCounts(
+          clean.join(kept.select("doc_id"), Seq("doc_id"))
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", bucketSize = 128L)
+      }
+      graft.corpus.Packing.packSpansFromCounts(counts, "doc_id",
+        blockTokens = 256)
+    }),
+
     // SimHash near-dup — md5-portable 32-bit signature so DuckDB replays it;
     // maxHamming=3 < bands=4 makes the banded join pigeonhole-EXACT, i.e.
     // identical to the oracle's all-pairs scan (round-1 bug: radius 16 over
@@ -3040,6 +3086,58 @@ object SparkEntry {
          SELECT d.doc_id, d.lang
          FROM documents d JOIN r USING (lang)
          WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
-           % 1000000 < r_ppm"""
+           % 1000000 < r_ppm""",
+
+    // q82 — the composition replayed from q74's own gated export (the
+    // __VERIFY_OUT__ cross-read pattern): decontaminate against the
+    // corpus-wide benchmark shingles, re-derive the mixture rates over the
+    // CLEAN set, then the q78 running-sum block map over the kept docs.
+    "q82_corpus_build" ->
+      """WITH surv AS (
+           SELECT doc_id
+           FROM read_parquet('__VERIFY_OUT__/q74_curation/*.parquet')),
+         base AS (
+           SELECT d.doc_id, d.text, d.lang FROM documents d
+           JOIN surv USING (doc_id)),
+         shb AS (
+           SELECT DISTINCT unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - 3, 1)),
+             i -> array_to_string(w[i:i+3], ' ')))) AS sh
+           FROM (SELECT string_split(text, ' ') AS w FROM documents
+                 WHERE doc_id % 97 = 0)),
+         shc AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - 3, 1)),
+             i -> array_to_string(w[i:i+3], ' ')))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)),
+         contam AS (SELECT DISTINCT doc_id FROM shc JOIN shb USING (sh)),
+         clean AS (
+           SELECT b.* FROM base b
+           WHERE NOT EXISTS (SELECT 1 FROM contam x
+                             WHERE x.doc_id = b.doc_id)),
+         cnt AS (SELECT lang, count(*) AS cnt FROM clean GROUP BY 1),
+         mn AS (SELECT min(cnt) AS mn FROM cnt),
+         r AS (SELECT lang, CAST(mn * 1000000 // cnt AS BIGINT) AS r_ppm
+               FROM cnt, mn),
+         kept AS (
+           SELECT c.doc_id, c.text FROM clean c JOIN r USING (lang)
+           WHERE ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 1000000 < r_ppm),
+         d AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '[ \t\n\v\f\r]+'),
+               t -> length(t) > 0)) + 1 AS BIGINT) AS n
+           FROM kept),
+         c AS (
+           SELECT doc_id, n,
+             sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM d),
+         s AS (SELECT doc_id, CAST(cum - n AS BIGINT) AS st,
+                 CAST(cum AS BIGINT) AS en FROM c)
+         SELECT CAST(unnest(generate_series(st // 256, (en - 1) // 256))
+             AS BIGINT) AS pack_id,
+           doc_id, CAST(st AS BIGINT) AS start_tok, CAST(en AS BIGINT) AS end_tok
+         FROM s"""
   )
 }

@@ -80,4 +80,26 @@ class CurationSpec extends AnyFunSuite {
     assert(out === expected)
     assert(rows.filter(_._2 == "g2").toSet.subsetOf(out))
   }
+
+  test("corpus build: block map tiles the concatenated token stream exactly") {
+    // q82 = q74 survivors → decontaminate → mixture-sample → pack; the SQL
+    // oracle pins the values, this pins the geometric invariants: doc spans
+    // are contiguous in doc_id order from 0, and every 256-token block a
+    // span touches appears exactly once for it.
+    val out = SparkEntry.queries("q82_corpus_build")(spark, dir)
+      .select("pack_id", "doc_id", "start_tok", "end_tok")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val spans = out.map { case (_, id, st, en) => (id, st, en) }.distinct
+      .sortBy(_._2)
+    assert(spans.head._2 === 0L)
+    spans.sliding(2).foreach { case Array((_, _, en), (_, st2, _)) =>
+      assert(st2 === en) // contiguous, no gaps or overlaps
+    case _ => () }
+    assert(spans.map(_._1).sorted === spans.map(_._1)) // doc_id order
+    out.groupBy(r => (r._2, r._1)).foreach { case (_, rs) =>
+      assert(rs.length === 1) } // (doc, block) appears once
+    out.foreach { case (p, _, st, en) =>
+      assert(p >= st / 256 && p <= (en - 1) / 256) }
+  }
 }
