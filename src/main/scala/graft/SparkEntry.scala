@@ -54,6 +54,13 @@ object SparkEntry {
     * no triple-letter runs, minus the default stoplist. */
   private val OracleStops =
     Normalize.DefaultStops.map(sw => s"'$sw'").mkString("[", ", ", "]")
+
+  /** q83's target mixture (lang → ppm share, sums to 10⁶): rebalance the
+    * en-heavy corpus to an explicit 40/15/15/15/15 split. SHARED by the
+    * engine query and its GENERATED oracle SQL (the q79 pattern). */
+  private val MixTargetPpm: Seq[(String, Long)] = Seq(
+    "en" -> 400000L, "de" -> 150000L, "es" -> 150000L,
+    "fr" -> 150000L, "zh" -> 150000L)
   // DuckDB regexes are RE2: no backreferences — spell the triple-repeat
   // filter as the explicit 26-triple alternation (exactly the scan the
   // reference performs, modules/main_corpus_processing.py:46-47).
@@ -1127,6 +1134,15 @@ object SparkEntry {
       graft.corpus.Curation.sampleToBalanced(
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", "lang")),
+
+    // Target-WEIGHTED mixture (the general form of q81): rebalance the
+    // en-heavy corpus to an explicit 40/15/15/15/15 share. The weight
+    // table is the SHARED MixTargetPpm constant — the oracle SQL is
+    // generated from it (the q79 pattern), so the two sides cannot drift.
+    "q83_mix_target" -> ((s, dir) =>
+      graft.corpus.Curation.sampleToTarget(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", MixTargetPpm.toMap)),
 
     // THE FULL CORPUS BUILD — every curation stage composed into the one
     // job a pretraining run actually ships: q74's survivors (quality gate →
@@ -3087,6 +3103,27 @@ object SparkEntry {
          FROM documents d JOIN r USING (lang)
          WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
            % 1000000 < r_ppm""",
+
+    // q83 — the weighted-rate arithmetic replayed from the SAME
+    // MixTargetPpm table the engine uses (interpolated, cannot drift):
+    // T = min_g ⌊n_g·10⁶/p_g⌋, required_g = ⌊p_g·T/10⁶⌋,
+    // rate_g = ⌊required_g·10⁶/n_g⌋, then the portable md5 row priority.
+    "q83_mix_target" -> {
+      val vals = MixTargetPpm
+        .map { case (g, p) => s"('$g', CAST($p AS BIGINT))" }.mkString(", ")
+      s"""WITH w(lang, p_ppm) AS (VALUES $vals),
+         c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+         j AS (SELECT c.lang, c.cnt, w.p_ppm FROM c JOIN w USING (lang)),
+         t AS (SELECT min(cnt * 1000000 // p_ppm) AS t FROM j),
+         r AS (SELECT lang,
+                 CAST((p_ppm * t // 1000000) * 1000000 // cnt AS BIGINT)
+                   AS r_ppm
+               FROM j, t)
+         SELECT d.doc_id, d.lang
+         FROM documents d JOIN r USING (lang)
+         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000 < r_ppm"""
+    },
 
     // q82 — the composition replayed from q74's own gated export (the
     // __VERIFY_OUT__ cross-read pattern): decontaminate against the

@@ -69,6 +69,50 @@ object Curation {
     val rates = counts.crossJoin(broadcast(minCnt))
       .select(col(group),
         expr("CAST(mn * 1000000 DIV cnt AS BIGINT)").as("r_ppm"))
+    sampleByRates(df, key, group, rates)
+  }
+
+  /** Target-WEIGHTED mixture sampling: downsample toward arbitrary target
+    * proportions `weightsPpm` (group → ppm share, summing to 10⁶) — the
+    * general form of [[sampleToBalanced]] (which is the uniform-weights
+    * special case). The largest total T consistent with the targets is
+    * T = min_g ⌊n_g·10⁶ / p_g⌋ (the group that runs out first caps the
+    * corpus); each group then keeps required_g = ⌊p_g·T / 10⁶⌋ rows in
+    * expectation via rate_g = ⌊required_g·10⁶ / n_g⌋. All-integer ppm
+    * arithmetic, same portable md5 row priority, same scale shape: the
+    * only shuffle is the tiny per-group count.
+    *
+    * Groups absent from `weightsPpm` get weight 0 and are dropped; groups
+    * in the map but absent from the data simply don't constrain T.
+    */
+  def sampleToTarget(df: DataFrame, key: String, group: String,
+                     weightsPpm: Map[String, Long]): DataFrame = {
+    require(weightsPpm.values.forall(_ > 0), "weights must be positive ppm")
+    val s = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val w = s.createDataFrame(
+      weightsPpm.toSeq.sortBy(_._1)
+        .map { case (g, p) => org.apache.spark.sql.Row(g, p) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(group,
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("p_ppm",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val counts = df.groupBy(group).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(w), Seq(group))
+    val tMax = counts
+      .agg(min(expr("CAST(cnt * 1000000 DIV p_ppm AS BIGINT)")).as("t"))
+    val rates = counts.crossJoin(broadcast(tMax))
+      .select(col(group),
+        expr("CAST((p_ppm * t DIV 1000000) * 1000000 DIV cnt AS BIGINT)")
+          .as("r_ppm"))
+    sampleByRates(df, key, group, rates)
+  }
+
+  /** Shared tail of the samplers: broadcast the tiny (group, r_ppm) frame
+    * and keep rows whose portable md5 priority clears their group's rate. */
+  private def sampleByRates(df: DataFrame, key: String, group: String,
+                            rates: DataFrame): DataFrame = {
     val prio = pmod(
       conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10)
         .cast("long"), lit(1000000L))

@@ -81,6 +81,27 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.filter(_._2 == "g2").toSet.subsetOf(out))
   }
 
+  test("target-weighted sampling: T capped by the scarcest group, ppm rates exact") {
+    // g1: 6 rows at 50% target, g2: 2 rows at 50% target.
+    // T = min(6e6/5e5, 2e6/5e5) = 4; required = 2 from each;
+    // rate(g1) = 2e6//6 = 333333 ppm, rate(g2) = 1000000 (keep all).
+    val rows = (1L to 6L).map(_ -> "g1") ++ Seq(7L -> "g2", 8L -> "g2")
+    val df = rows.toDF("k", "g")
+    def prio(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hx = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hx, 16) % 1000000L
+    }
+    val expected = rows.filter { case (id, g) =>
+      prio(id) < (if (g == "g1") 333333L else 1000000L) }.toSet
+    val out = graft.corpus.Curation.sampleToTarget(df, "k", "g",
+        Map("g1" -> 500000L, "g2" -> 500000L))
+      .as[(Long, String)].collect().toSet
+    assert(out === expected)
+    assert(Set(7L -> "g2", 8L -> "g2").subsetOf(out))
+  }
+
   test("corpus build: block map tiles the concatenated token stream exactly") {
     // q82 = q74 survivors → decontaminate → mixture-sample → pack; the SQL
     // oracle pins the values, this pins the geometric invariants: doc spans
