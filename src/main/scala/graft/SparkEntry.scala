@@ -1144,6 +1144,26 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", "lang", MixTargetPpm.toMap)),
 
+    // Repetition quality dimension (the duplicate-n-gram family of
+    // pretraining quality filters): distinct-token share and duplicate-
+    // bigram share per doc, integer ppm. Pure per-row array arithmetic —
+    // no explode, no shuffle, stays inside whole-stage codegen; bigrams
+    // via the same Dedup.shingles slice the q28/q80 gates pin.
+    "q84_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("nt"),
+          size(array_distinct(col("tokens"))).cast("long").as("nd"),
+          size(graft.dedup.Dedup.shingles(col("tokens"), 2)).cast("long")
+            .as("nb"),
+          size(array_distinct(graft.dedup.Dedup.shingles(col("tokens"), 2)))
+            .cast("long").as("nbd"))
+        .select(col("doc_id"),
+          expr("CAST(nd * 1000000 DIV nt AS BIGINT)").as("distinct_tok_ppm"),
+          expr("CAST((nb - nbd) * 1000000 DIV nb AS BIGINT)")
+            .as("dup_bigram_ppm"))),
+
     // THE FULL CORPUS BUILD — every curation stage composed into the one
     // job a pretraining run actually ships: q74's survivors (quality gate →
     // exact dedup → MinHash near-dup prune, reused as the shared persisted
@@ -3124,6 +3144,23 @@ object SparkEntry {
          WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
            % 1000000 < r_ppm"""
     },
+
+    // q84 — same bigram slice semantics as the q28/q80 oracles; all
+    // integer ppm so the compare is exact.
+    "q84_repetition" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         b AS (
+           SELECT doc_id, w,
+             list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+               i -> array_to_string(w[i:i+1], ' ')) AS bg
+           FROM d)
+         SELECT doc_id,
+           CAST(len(list_distinct(w)) * 1000000 // len(w) AS BIGINT)
+             AS distinct_tok_ppm,
+           CAST((len(bg) - len(list_distinct(bg))) * 1000000 // len(bg)
+             AS BIGINT) AS dup_bigram_ppm
+         FROM b""",
 
     // q82 — the composition replayed from q74's own gated export (the
     // __VERIFY_OUT__ cross-read pattern): decontaminate against the

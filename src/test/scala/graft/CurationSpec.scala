@@ -102,6 +102,18 @@ class CurationSpec extends AnyFunSuite {
     assert(Set(7L -> "g2", 8L -> "g2").subsetOf(out))
   }
 
+  test("repetition metrics: distinct-token and duplicate-bigram ppm, hand-computed") {
+    // "a a a b": 4 tokens / 2 distinct → 500000 ppm; bigrams
+    // ["a a","a a","a b"]: 3 total / 2 distinct → dup = 1e6/3 = 333333
+    val one = Seq((42L, "a a a b")).toDF("doc_id", "text")
+    val docsDir = java.nio.file.Files
+      .createTempDirectory("q84fix").toString
+    one.write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+    val out = SparkEntry.queries("q84_repetition")(spark, docsDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((42L, 500000L, 333333L)))
+  }
+
   test("corpus build: block map tiles the concatenated token stream exactly") {
     // q82 = q74 survivors → decontaminate → mixture-sample → pack; the SQL
     // oracle pins the values, this pins the geometric invariants: doc spans
