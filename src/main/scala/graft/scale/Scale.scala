@@ -18,8 +18,8 @@ object Scale {
     * parquet fallback it is an explicit partition column. */
   val DefaultBuckets = 64
 
-  def bucketCol(nBuckets: Int = DefaultBuckets) =
-    pmod(xxhash64(col("conv_id")), lit(nBuckets.toLong)).cast("int").as("bucket")
+  def bucketCol(nBuckets: Int = DefaultBuckets, keyCol: String = "conv_id") =
+    pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)).cast("int").as("bucket")
 
   /** Salted repartition for skewed long conversations: per-turn stages are
     * embarrassingly parallel, so rows of one huge conversation may be spread
@@ -98,7 +98,9 @@ object Scale {
         .coalesce(1).write.mode("append").parquet(manifestDir)
   }
 
-  /** Resumable keyed write: bucket the result by hash(conv_id), drop buckets
+  /** Resumable keyed write: bucket the result by hash(`keyCol`, default
+    * conv_id; `orderCol` orders within the key and salts the writers —
+    * doc-keyed curation stages pass doc_id/doc_id), drop buckets
     * the manifest marks complete, and write every remaining bucket in ONE
     * distributed job with dynamic partition overwrite (idempotent under
     * retry — a re-run of a failed job rewrites exactly the unfinished
@@ -125,13 +127,14 @@ object Scale {
     * bucket filter sits below the projection), so keep waves modest (4–8). */
   def resumableWrite(df: DataFrame, outDir: String, manifestDir: String,
                      nBuckets: Int = DefaultBuckets, waves: Int = 1,
-                     salts: Int = 1): Long = {
+                     salts: Int = 1, keyCol: String = "conv_id",
+                     orderCol: String = "turn_idx"): Long = {
     require(waves >= 1 && waves <= nBuckets,
       s"waves must be in [1, nBuckets]: $waves")
     require(salts >= 1, s"salts must be >= 1: $salts")
     val spark = df.sparkSession
     val done = completedBuckets(spark, manifestDir)
-    val withBucket = df.withColumn("bucket", bucketCol(nBuckets))
+    val withBucket = df.withColumn("bucket", bucketCol(nBuckets, keyCol))
     (0 until waves).foreach { w =>
       val waveBuckets =
         (w until nBuckets by waves).filterNot(done.contains)
@@ -156,9 +159,9 @@ object Scale {
         // never assume file order (SURVEY §1).
         val keyed =
           if (salts <= 1) wave.repartition(col("bucket"))
-          else wave.repartition(col("bucket"), pmod(col("turn_idx"), lit(salts)))
+          else wave.repartition(col("bucket"), pmod(col(orderCol), lit(salts)))
         keyed
-          .sortWithinPartitions("conv_id", "turn_idx")
+          .sortWithinPartitions(keyCol, orderCol)
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("bucket").parquet(outDir)
         // one distributed pass over the (partition-pruned) output records
