@@ -81,9 +81,20 @@ object Block {
     * The lexer already touches every char, so computing these here is
     * nearly free — versus 3 regex/split expression passes per block when
     * spelled in SQL (measured: 4× whole-kernel slowdown of the scored
-    * pipeline, round 2). */
+    * pipeline, round 2).
+    *
+    * `stats = false` skips that pass (fields emitted as 0): the PLAIN rule
+    * kernel (E3, the headline bench path) never reads nWords/nStops/nDigits
+    * — its decision is pathChrome + length + link density — so the stats
+    * scan plus its per-short-word substring/lowercase allocations were pure
+    * waste on the hottest path (round-7 optimization; the scored kernel and
+    * the exported block struct keep stats = true). */
   def make(tag: String, path: String, text: String, start: Int, end: Int,
-           nTags: Int, nLinks: Int, linkChars: Int): Block = {
+           nTags: Int, nLinks: Int, linkChars: Int,
+           stats: Boolean = true): Block = {
+    if (!stats)
+      return Block(tag, path, text, start, end, nTags, nLinks, linkChars,
+        0, 0, 0)
     var words = 0; var stops = 0; var digits = 0
     val n = text.length
     var i = 0; var wordStart = -1

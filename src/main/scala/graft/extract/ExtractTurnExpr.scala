@@ -122,11 +122,18 @@ object ExtractTurnExpr {
 
   /** Rule tier — mirrors Extract.classified's CASE exactly (incl. the
     * markup-only scope of the short-block rule: layout lines and tool
-    * results are positionally recovered content regardless of length). */
+    * results are positionally recovered content regardless of length).
+    *
+    * Fast path (round-7): with linkChars == 0 and UTF-16 length ≥ 6 the
+    * decision is forced — cpLen ≥ ⌈jlen/2⌉ ≥ 3 (so neither the len == 0
+    * nor the len < 3 rule can fire) and link density is exactly 0 ≤ 0.5 —
+    * so the code-point scan is skipped entirely on link-free blocks, the
+    * common case for real content. Exactly equivalent to the full rule. */
   private def ruleContent(blk: Block): Boolean = {
+    if (pathChrome(blk.path)) return false
+    if (blk.linkChars == 0 && blk.text.length >= 6) return true
     val len = cpLen(blk.text)
-    if (pathChrome(blk.path)) false
-    else if (len == 0) false
+    if (len == 0) false
     else if (blk.linkChars.toDouble / len > 0.5) false
     else if (len < 3 && blk.path != "layout" && blk.path != "tool") false
     else true
@@ -149,30 +156,47 @@ object ExtractTurnExpr {
   }
 
   /** One pass: lex, pick content blocks, join text with the pipeline
-    * separator, emit spans. Allocation-lean (one builder, one array). */
+    * separator, emit spans. Allocation-lean: the StringBuilder is only
+    * materialized when a SECOND content block shows up — most payload
+    * shapes yield exactly one content block, whose text is emitted without
+    * any copy (round-7); spans land in a right-sized plain array. */
   def extractTurn(text: UTF8String, role: UTF8String, scored: Boolean,
                   w: Array[Double], b: Double, threshold: Double): InternalRow = {
     val t = if (text == null) null else text.toString
     val r = if (role == null) "" else role.toString
-    val blocks = Lexer.lex(t, r)
-    val sb = new java.lang.StringBuilder(if (t == null) 16 else t.length)
-    val spans = new scala.collection.mutable.ArrayBuffer[Any](blocks.length)
+    // plain kernel never reads the scorer stats — skip that per-block pass
+    val blocks = Lexer.lex(t, r, stats = scored)
+    var single: String = null // sole kept block so far (no builder yet)
+    var sb: java.lang.StringBuilder = null
+    val spans = new Array[Any](blocks.length)
+    var nSpans = 0
     var i = 0
     while (i < blocks.length) {
       val blk = blocks(i)
       val keep =
         if (scored) scoredContent(blk, w, b, threshold) else ruleContent(blk)
       if (keep) {
-        if (sb.length > 0) sb.append(Extract.JoinSep)
-        sb.append(blk.text)
-        spans += new GenericInternalRow(
+        if (sb != null) sb.append(Extract.JoinSep).append(blk.text)
+        else if (single == null) single = blk.text
+        else {
+          sb = new java.lang.StringBuilder(t.length)
+          sb.append(single).append(Extract.JoinSep).append(blk.text)
+          single = null
+        }
+        spans(nSpans) = new GenericInternalRow(
           Array[Any](blk.start, blk.end, ContentLabel))
+        nSpans += 1
       }
       i += 1
     }
+    val outText =
+      if (sb != null) sb.toString else if (single != null) single else ""
+    val outSpans =
+      if (nSpans == spans.length) spans
+      else java.util.Arrays.copyOf(spans.asInstanceOf[Array[AnyRef]], nSpans)
+        .asInstanceOf[Array[Any]]
     new GenericInternalRow(Array[Any](
-      UTF8String.fromString(sb.toString),
-      new GenericArrayData(spans.toArray)))
+      UTF8String.fromString(outText), new GenericArrayData(outSpans)))
   }
 
   def extractTurn(text: Column, role: Column): Column = {

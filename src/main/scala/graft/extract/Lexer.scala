@@ -55,16 +55,18 @@ object Lexer {
     else Plain
   }
 
-  /** Lex a payload into blocks. Dispatcher over payload kind. */
-  def lex(text: String, role: String): Seq[Block] = {
+  /** Lex a payload into blocks. Dispatcher over payload kind.
+    * `stats = false` skips the per-block scorer-stat pass (Block.make) —
+    * the plain rule kernel never reads those fields (round-7). */
+  def lex(text: String, role: String, stats: Boolean = true): Seq[Block] = {
     if (text == null) return Seq.empty
     kindOf(text, role) match {
-      case Markup   => lexMarkup(text)
-      case Layout   => lexLayout(text)
-      case ToolJson => lexToolJson(text)
+      case Markup   => lexMarkup(text, stats)
+      case Layout   => lexLayout(text, stats)
+      case ToolJson => lexToolJson(text, stats)
       case Plain =>
         if (text.isEmpty) Seq.empty
-        else Seq(Block.make("", "", text, 0, text.length, 0, 0, 0))
+        else Seq(Block.make("", "", text, 0, text.length, 0, 0, 0, stats))
     }
   }
 
@@ -74,7 +76,7 @@ object Lexer {
     * blocks; inline tags contribute to nTags/nLinks/linkChars of the
     * enclosing block. Entities (&amp; &lt; &gt; &quot; &#39; &nbsp;) are
     * decoded in block text, while offsets still index the raw payload. */
-  def lexMarkup(s: String): Seq[Block] = {
+  def lexMarkup(s: String, stats: Boolean = true): Seq[Block] = {
     val out = mutable.ArrayBuffer.empty[Block]
     val stack = mutable.ArrayBuffer.empty[String] // open block tags
     val sb = new java.lang.StringBuilder(64)
@@ -97,7 +99,8 @@ object Lexer {
         // later) and compute the scorer stats on the final text
         val t = trimRight(sb.toString)
         if (t.nonEmpty)
-          out += Block.make(curTag, path, t, blockStart, blockEnd, nTags, nLinks, linkChars)
+          out += Block.make(curTag, path, t, blockStart, blockEnd, nTags,
+            nLinks, linkChars, stats)
       }
       sb.setLength(0); blockStart = -1; blockEnd = -1
       nTags = 0; nLinks = 0; linkChars = 0
@@ -165,8 +168,18 @@ object Lexer {
         val close = i + 1 < n && s.charAt(i + 1) == '/'
         var j = i + (if (close) 2 else 1)
         val nameStart = j
-        while (j < n && (s.charAt(j).isLetterOrDigit)) j += 1
-        val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+        var needsFold = false
+        while (j < n && (s.charAt(j).isLetterOrDigit)) {
+          val tc = s.charAt(j)
+          if (!((tc >= 'a' && tc <= 'z') || (tc >= '0' && tc <= '9')))
+            needsFold = true
+          j += 1
+        }
+        // skip the toLowerCase allocation when the raw name is already
+        // lowercase ASCII (the overwhelmingly common case) — round-7
+        val raw = s.substring(nameStart, j)
+        val name =
+          if (needsFold) raw.toLowerCase(java.util.Locale.ROOT) else raw
         // scan to '>' — skipping quoted attribute values, so an attribute
         // containing '>' (<a href="a>b">) can't truncate the tag early.
         // A quote opens a value only right after '=' (plus spaces), the
@@ -266,15 +279,44 @@ object Lexer {
         }
         i += adv
       } else {
+        // ---- bulk plain-text run (round-7 optimization): every char from
+        // here to the next state-changing char takes this same branch — in
+        // raw (CDATA) mode that bound is the region end; otherwise the next
+        // '<' (tag/decl/literal) or, at dropDepth 0, '&' (entity). The
+        // current char itself is already known non-state-changing (a
+        // literal '<'/'&' only reaches here when it can't open a tag/
+        // entity, and then the scan below starts past it), so the whole
+        // run is consumed with one intrinsified indexOf + one bulk append
+        // instead of a per-char branch ladder. Per-char semantics are
+        // identical: ws before a block never opens it, appended chars
+        // count toward linkChars under <a>, blockEnd tracks the last
+        // non-ws char.
+        val stop =
+          if (rawUntil >= 0) rawUntil
+          else {
+            var e = s.indexOf('<', i + 1)
+            if (e < 0) e = n
+            if (dropDepth == 0) {
+              val a = s.indexOf('&', i + 1)
+              if (a >= 0 && a < e) e = a
+            }
+            e
+          }
         if (dropDepth == 0) {
-          if (blockStart < 0 && !c.isWhitespace) blockStart = i
-          if (blockStart >= 0) {
-            sb.append(c)
-            if (linkDepth > 0) linkChars += 1
-            if (!c.isWhitespace) blockEnd = i + 1
+          var j = i
+          if (blockStart < 0) {
+            while (j < stop && s.charAt(j).isWhitespace) j += 1
+            if (j < stop) blockStart = j
+          }
+          if (blockStart >= 0 && j < stop) {
+            sb.append(s, j, stop)
+            if (linkDepth > 0) linkChars += stop - j
+            var e2 = stop
+            while (e2 > j && s.charAt(e2 - 1).isWhitespace) e2 -= 1
+            if (e2 > j) blockEnd = e2
           }
         }
-        i += 1
+        i = stop
       }
     }
     flush()
@@ -296,7 +338,7 @@ object Lexer {
     * }}}
     * One block per line; reading order = sort by (y, x). Offsets point at the
     * text portion of each raw line. */
-  def lexLayout(s: String): Seq[Block] = {
+  def lexLayout(s: String, stats: Boolean = true): Seq[Block] = {
     val out = mutable.ArrayBuffer.empty[(Int, Int, Block)]
     var i = s.indexOf('\n')
     if (i < 0) return Seq.empty
@@ -315,7 +357,9 @@ object Lexer {
             val textStart = sp2 + 1
             val text = s.substring(textStart, eol)
             if (text.nonEmpty)
-              out += ((y, x, Block.make("line", "layout", text, textStart, eol, 0, 0, 0)))
+              out += ((y, x,
+                Block.make("line", "layout", text, textStart, eol, 0, 0, 0,
+                  stats)))
           } catch { case _: NumberFormatException => () }
         }
       }
@@ -335,7 +379,7 @@ object Lexer {
     * finding). No result key, or a non-string result value, falls back to
     * emitting the whole payload — best-effort passthrough beats dropping
     * the turn. */
-  def lexToolJson(s: String): Seq[Block] = {
+  def lexToolJson(s: String, stats: Boolean = true): Seq[Block] = {
     val key = "\"result\""
     val n = s.length
     var ki = s.indexOf(key)
@@ -350,12 +394,22 @@ object Lexer {
       } else ki = s.indexOf(key, ki + 1)
     }
     if (vi < 0 || vi >= n || s.charAt(vi) != '"')
-      return Seq(Block.make("", "", s, 0, s.length, 0, 0, 0))
+      return Seq(Block.make("", "", s, 0, s.length, 0, 0, 0, stats))
     var i = vi + 1
     val start = i
     val sb = new java.lang.StringBuilder(n - i)
     var done = false
     while (i < n && !done) {
+      // bulk run up to the next escape or closing quote (round-7): typical
+      // tool output has neither mid-string, so the whole value lands in one
+      // intrinsified indexOf + bulk append instead of a per-char loop
+      var stop = s.indexOf('"', i)
+      if (stop < 0) stop = n
+      val bs = s.indexOf('\\', i)
+      if (bs >= 0 && bs < stop) stop = bs
+      if (stop > i) { sb.append(s, i, stop); i = stop }
+      if (i >= n) done = true
+      else {
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < n) {
         s.charAt(i + 1) match {
@@ -379,8 +433,10 @@ object Lexer {
         }
       } else if (c == '"') { done = true }
       else { sb.append(c); i += 1 }
+      }
     }
     if (sb.length == 0) Seq.empty
-    else Seq(Block.make("result", "tool", sb.toString, start, i, 0, 0, 0))
+    else Seq(Block.make("result", "tool", sb.toString, start, i, 0, 0, 0,
+      stats))
   }
 }
