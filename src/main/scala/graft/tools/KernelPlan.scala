@@ -1,0 +1,28 @@
+package graft.tools
+
+import graft.extract.Extract
+import graft.scale.Scale
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Prints the physical plan of the HEADLINE bench kernel — the plain (and
+  * scored) extraction pipeline over the pre-materialized bench parquet —
+  * exactly what MeasureExtract times. Round-7 plan-audit aid. */
+object KernelPlan {
+  def main(args: Array[String]): Unit = {
+    val input = args.headOption.getOrElse("/tmp/graft_bench_input_v3_4000000")
+    val spark = Scale.configure(SparkSession.builder(), 4)
+      .master("local[4]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val agg = Extract.pipeline(spark.read.parquet(input))
+      .agg(count(lit(1)), sum(length(col("text"))), sum(size(col("spans"))))
+    println("=== plain kernel + bench aggregate ===")
+    println(agg.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    println("=== plain kernel bare ===")
+    println(Extract.pipeline(spark.read.parquet(input)).queryExecution
+      .explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    spark.stop()
+  }
+}
