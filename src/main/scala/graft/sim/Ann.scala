@@ -207,27 +207,25 @@ object Ann {
     ivfTopKQuantized(corpus, probes,
       ivfQuantizer(corpus, key, vec, clusters), key, vec, k, nprobe)
 
-  /** [[ivfTopK]] against a pre-built (persistable) quantizer row.
-    * `nprobe` ≤ 0 (the default) resolves to [[nprobeFor]] of the
-    * quantizer's list count (one head() on the one-row quantizer frame —
-    * build/persist it once via [[ivfQuantizer]]); see [[nprobeFor]] for the
-    * measured recall the default buys. */
-  def ivfTopKQuantized(corpus: DataFrame, probes: DataFrame,
-                       quantizer: DataFrame, key: String, vec: String,
-                       k: Int, nprobe: Int = 0): DataFrame = {
-    val np =
-      if (nprobe > 0) nprobe
-      else nprobeFor(quantizer.select(size(col("cents"))).head().getInt(0))
-    val quant: Column => Column = ivfQuant
-    val centRow = quantizer
-    // exact integer d2 to one packed centroid — evaluated per row, in-scan
-    def d2To(vq: Column, carr: Column): Column =
-      aggregate(zip_with(vq, carr, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-    // map-side argmin: fold over the centroid array inside the projection
-    val assigned = corpus.select(col(key).as("c_key"), col(vec).as("c_vec"))
-      .crossJoin(broadcast(centRow))
-      .withColumn("vq", transform(col("c_vec"), quant))
+  /** exact integer d2 to one packed centroid — evaluated per row, in-scan */
+  private def d2To(vq: Column, carr: Column): Column =
+    aggregate(zip_with(vq, carr, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** The IVF corpus-side list assignment — (c_key, c_vec, list), every
+    * corpus row mapped to its nearest inverted list by exact integer-grid
+    * argmin against the broadcast quantizer. Split out of
+    * [[ivfTopKQuantized]] (round-7): the assignment is nprobe-independent
+    * and is THE corpus-sized scan of every IVF query, so a caller serving
+    * several probes/nprobe points (q70's top-k, q72's recall read, q73's
+    * whole nprobe curve) builds it once and persists it — the inverted
+    * lists are a model artifact exactly like the quantizer, and at 10^12
+    * rows they are what a deployment stages to disk next to it. */
+  def ivfAssign(corpus: DataFrame, quantizer: DataFrame, key: String,
+                vec: String): DataFrame =
+    corpus.select(col(key).as("c_key"), col(vec).as("c_vec"))
+      .crossJoin(broadcast(quantizer))
+      .withColumn("vq", transform(col("c_vec"), ivfQuant(_)))
       .withColumn("list", aggregate(
         col("cents"),
         struct(lit(Long.MaxValue).as("d2"), lit(-1).as("list")),
@@ -237,11 +235,36 @@ object Ann {
             struct(d2.as("d2"), c.getField("list").as("list"))).otherwise(acc)
         }).getField("list"))
       .select(col("c_key"), col("c_vec"), col("list"))
+
+  /** [[ivfTopK]] against a pre-built (persistable) quantizer row.
+    * `nprobe` ≤ 0 (the default) resolves to [[nprobeFor]] of the
+    * quantizer's list count (one head() on the one-row quantizer frame —
+    * build/persist it once via [[ivfQuantizer]]); negative values are
+    * rejected loudly (round-6 ADVICE: they silently meant auto-sizing);
+    * see [[nprobeFor]] for the measured recall the default buys. */
+  def ivfTopKQuantized(corpus: DataFrame, probes: DataFrame,
+                       quantizer: DataFrame, key: String, vec: String,
+                       k: Int, nprobe: Int = 0): DataFrame =
+    ivfTopKAssigned(ivfAssign(corpus, quantizer, key, vec), probes,
+      quantizer, key, vec, k, nprobe)
+
+  /** [[ivfTopKQuantized]] against a pre-built (persistable) corpus
+    * assignment from [[ivfAssign]] — probe routing, candidate join and the
+    * per-probe top-k window only; no corpus-sized work beyond the
+    * candidate slice. */
+  def ivfTopKAssigned(assigned: DataFrame, probes: DataFrame,
+                      quantizer: DataFrame, key: String, vec: String,
+                      k: Int, nprobe: Int = 0): DataFrame = {
+    require(nprobe >= 0,
+      s"nprobe must be >= 0 (0 = auto-size via nprobeFor): $nprobe")
+    val np =
+      if (nprobe > 0) nprobe
+      else nprobeFor(quantizer.select(size(col("cents"))).head().getInt(0))
     // probe routing: nprobe nearest lists via an in-row sort of the (tiny)
     // per-list distance array — (d2 asc, list asc), the same tie rule
     val probeKeys = probes.select(col(key).as("p_key"), col(vec).as("p_vec"))
-    val routing = probeKeys.crossJoin(broadcast(centRow))
-      .withColumn("vq", transform(col("p_vec"), quant))
+    val routing = probeKeys.crossJoin(broadcast(quantizer))
+      .withColumn("vq", transform(col("p_vec"), ivfQuant(_)))
       .select(col("p_key"), explode(slice(array_sort(
         transform(col("cents"), c => struct(
           d2To(col("vq"), c.getField("carr")).as("d2"),

@@ -106,14 +106,33 @@ object Normalize {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for",
     "on", "with", "as", "at", "by", "be", "this", "that", "are", "was")
 
-  /** The full P1→P7 chain as one composed column (token array out). */
+  /** The full P1→P7 chain as one composed column (token array out).
+    *
+    * Lemma-free case (every production call site): the four per-element
+    * filter stages (tokenize's non-empty check, length, triple-run,
+    * stopword) are FUSED into ONE `filter` pass — Spark's higher-order
+    * functions run interpreted with a fresh array materialized per stage,
+    * so the chained spelling paid 4 array rebuilds per row for one
+    * conjunction of per-element predicates (round-7 optimization; kept
+    * tokens, order and duplicates are identical by construction — the
+    * non-empty check is subsumed by length >= min, and `And` short-
+    * circuits so short tokens never reach the regex). With lemmas the
+    * original staged chain is kept: the rewrite happens between tokenize
+    * and the filters, so the stages cannot fuse. */
   def pipeline(text: Column,
                stops: Seq[String] = DefaultStops,
                lemmas: Map[String, String] = Map.empty): Column = {
-    val t0 = tokenize(stripPunctDigits(asciiFold(text)))
-    val t1 = lemmaLookup(t0, lemmas)
-    val t2 = lengthFilter(t1)
-    val t3 = tripleFilter(t2)
-    stopFilter(t3, stops)
+    if (lemmas.isEmpty) {
+      val stopArr = array(stops.map(lit): _*)
+      filter(split(stripPunctDigits(asciiFold(text)), "\\s+"), t =>
+        length(t) >= 3 && length(t) < 15 &&
+          !t.rlike("([a-z])\\1\\1") && !array_contains(stopArr, t))
+    } else {
+      val t0 = tokenize(stripPunctDigits(asciiFold(text)))
+      val t1 = lemmaLookup(t0, lemmas)
+      val t2 = lengthFilter(t1)
+      val t3 = tripleFilter(t2)
+      stopFilter(t3, stops)
+    }
   }
 }
