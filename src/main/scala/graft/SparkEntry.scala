@@ -1258,8 +1258,11 @@ object SparkEntry {
     }),
 
     // Entry 4 — the wells data product chain (J1 semi → J2 broadcast join →
-    // A9 one-hot → A8 rollup → J3 dimension join) in ONE job
-    "q41_data_product" -> ((s, dir) => {
+    // A9 one-hot → A8 rollup → J3 dimension join) in ONE job. Shared
+    // persisted result (round-7): q62 writes THIS product through the CSV
+    // sink, so without sharing every q62 run re-ran the whole join/rollup
+    // chain just to re-derive the same 25 rows.
+    "q41_data_product" -> ((s, dir) => sharedResult(s, dir, "q41product") {
       val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
       val n = t(s, dir, "nation")
       val observed = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")

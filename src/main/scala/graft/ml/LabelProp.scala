@@ -42,11 +42,15 @@ object LabelProp {
         .filter(col("nl").isNotNull)
         .groupBy(col("k"), col("nl"))
         .agg(sum(col("weight")).as("w"))
-      val w = Window.partitionBy(col("k"))
-        .orderBy(col("w").desc, col("nl").asc)
-      val winner = votes.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("k"), col("nl").as("vote"))
+      // per-node argmax as a partial-aggregable groupBy, not a rank window
+      // (round-7): the window re-shuffled by k AND sorted every partition;
+      // min_by over the (−w, nl) struct picks the same winner — largest
+      // vote weight, ties to the smallest label — with map-side partial
+      // aggregation and no sort. (k, nl) rows are unique post-groupBy, so
+      // the struct order is total and the winner deterministic.
+      val winner = votes.groupBy(col("k"))
+        .agg(min_by(col("nl"), struct(negate(col("w")), col("nl")))
+          .as("vote"))
       // clamp: a seeded node never changes; unlabeled nodes adopt the vote
       cur = seeds.join(winner, Seq("k"), "left_outer")
         .select(col("k"), coalesce(col("seed"), col("vote")).as("label"))

@@ -1,0 +1,42 @@
+package graft.tools
+
+import graft.dedup.Dedup
+import graft.scale.Scale
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiler for q77's phases (round-7). */
+object TimeQ77 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Scale.configure(SparkSession.builder(), 32)
+      .master("local[32]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def tm[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s"); r
+    }
+    // warm the session on an unrelated query
+    spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val edges = tm("edges build+persist+count") {
+      val e = Dedup.embeddingDupLsh(emb, "vec_id", "embedding",
+        threshold = 0.4, dim = 64, bits = 4)
+        .select(col("key_a").as("src"), col("key_b").as("dst")).persist()
+      e.count(); e
+    }
+    val labels = tm("cc 6 rounds + persist+count") {
+      val l = Dedup.connectedComponents(
+        emb.select(col("vec_id")), "vec_id", edges, iters = 6).persist()
+      l.count(); l
+    }
+    tm("converged check") {
+      require(Dedup.converged(labels, "vec_id", edges), "not converged")
+    }
+    tm("second full pass (warm)") {
+      Dedup.connectedComponents(
+        emb.select(col("vec_id")), "vec_id", edges, iters = 6).count()
+    }
+    spark.stop()
+  }
+}
