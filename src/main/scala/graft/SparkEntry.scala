@@ -397,7 +397,7 @@ object SparkEntry {
       // curation build touches parquet exactly once
       val quality = t(s, dir, "documents").select(
           col("doc_id"), col("text"),
-          graft.textstats.TextStats.qualityScorePpm(col("text"),
+          graft.textstats.TextStatsExprs.qualityScorePpm(col("text"),
             graft.text.Normalize.DefaultStops).as("quality_ppm"))
         .filter(col("quality_ppm") >= 650000L)
         .persist(mem)
@@ -726,7 +726,10 @@ object SparkEntry {
     // bit-identical across engines, no float rounding boundary)
     "q20_quality" -> ((s, dir) => t(s, dir, "documents").select(
       col("doc_id"),
-      TextStats.qualityScorePpm(col("text"), Normalize.DefaultStops).as("quality_ppm"))),
+      // native one-pass kernel (round-7); composed spelling pinned equal
+      // by TextStatsExprsSpec and replayed by the unchanged oracle
+      graft.textstats.TextStatsExprs.qualityScorePpm(col("text"),
+        Normalize.DefaultStops).as("quality_ppm"))),
 
     // fingerprint + exact dedup
     "q21_dedup_exact" -> ((s, dir) =>
@@ -1093,14 +1096,20 @@ object SparkEntry {
       // drop PREVIOUS run subdirs before staging a new one (round-6 ADVICE:
       // nothing was deleted until JVM exit, so a long session — Bench runs
       // this 3× per sf — accumulated unbounded /tmp staging copies). Safe:
-      // each invocation stages, streams and reads back its OWN nanoTime
-      // subdir; older subdirs are never re-read.
+      // each invocation streams and reads back its OWN nanoTime subdir;
+      // older subdirs are never re-read. The staged INPUT corpus is kept:
+      // it is a deterministic function of (sf), so re-writing the same
+      // parquet fixture per invocation was pure staging overhead (round-7)
+      // — what must stay fresh per run is the checkpoint + sink, and does.
+      val inDir = s"$base/in"
       val prev = new java.io.File(base).listFiles()
-      if (prev != null) prev.foreach(deleteRecursively)
+      if (prev != null) prev.filter(_.getName != "in").foreach(deleteRecursively)
+      if (!new java.io.File(s"$inDir/_SUCCESS").exists) {
+        Transcripts.fromDocuments(s, dir)
+          .write.mode("overwrite").parquet(inDir)
+      }
       val run = s"$base/${System.nanoTime()}"
-      Transcripts.fromDocuments(s, dir)
-        .write.mode("overwrite").parquet(s"$run/in")
-      val q = graft.streaming.StreamingExtract.fromParquetDir(s, s"$run/in")
+      val q = graft.streaming.StreamingExtract.fromParquetDir(s, inDir)
         .select(col("conv_id"), col("turn_idx"), col("text"))
         .writeStream.format("parquet")
         .option("path", s"$run/out")
@@ -1174,7 +1183,7 @@ object SparkEntry {
           lit(" acct "), lpad(d.cast("string"), 9, "0"),
           lit(" "), col("text")).as("text"))
       seeded.select(col("doc_id"),
-          graft.textstats.TextStats.redactPii(col("text")).as("r"))
+          graft.textstats.TextStatsExprs.redactPii(col("text")).as("r"))
         .select(col("doc_id"), col("r.redacted").as("text"),
           col("r.n_emails"), col("r.n_hexkeys"), col("r.n_ips"),
           col("r.n_numruns"))

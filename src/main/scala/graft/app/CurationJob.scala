@@ -83,7 +83,7 @@ object CurationJob {
     if (Scale.completedBuckets(spark, s"$cleanDir/manifest").size < nBuckets) {
       val docs = spark.read.parquet(in)
       val quality = docs.select(col("doc_id"), col("text"), col("lang"),
-          graft.textstats.TextStats.qualityScorePpm(col("text"),
+          graft.textstats.TextStatsExprs.qualityScorePpm(col("text"),
             graft.text.Normalize.DefaultStops).as("quality_ppm"))
         .filter(col("quality_ppm") >= 650000L)
       val keepers = Dedup.exact(quality, "doc_id", "text")
