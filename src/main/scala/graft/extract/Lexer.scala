@@ -36,6 +36,36 @@ object Lexer {
   /** Self-closing / void tags — never pushed on the stack. */
   private val VoidTags: Set[String] = Set("br", "hr", "img", "meta", "link", "input")
 
+  private final val FlagBlock = 1
+  private final val FlagDrop = 2
+  private final val FlagVoid = 4
+
+  /** The three tag-set memberships as ONE hash dispatch (round-7: a string
+    * match compiles to a hashCode tableswitch — the per-tag cost was three
+    * separate Set probes on the markup hot path). Derivation from the Sets
+    * is asserted below so the tables cannot drift. */
+  private def tagFlags(name: String): Int = name match {
+    case "div" | "p" | "nav" | "footer" | "header" | "aside" | "main" |
+         "article" | "section" | "ul" | "ol" | "li" | "table" | "tr" |
+         "td" | "th" | "h1" | "h2" | "h3" | "h4" | "h5" | "h6" |
+         "blockquote" | "pre" | "form" | "body" | "html" => FlagBlock
+    case "head" | "title" | "script" | "style" => FlagBlock | FlagDrop
+    case "br" | "hr" => FlagBlock | FlagVoid
+    case "img" | "meta" | "link" | "input" => FlagVoid
+    case _ => 0
+  }
+
+  // the flags function must agree with the Sets it replaces, for every tag
+  // either side knows — checked once at class init, loudly
+  (BlockTags ++ DropTags ++ VoidTags ++ Set("a", "span", "em", "zzz"))
+    .foreach { t =>
+      val f = tagFlags(t)
+      require(((f & FlagBlock) != 0) == BlockTags.contains(t) &&
+        ((f & FlagDrop) != 0) == DropTags.contains(t) &&
+        ((f & FlagVoid) != 0) == VoidTags.contains(t),
+        s"tagFlags drifted from the tag sets on '$t'")
+    }
+
   sealed trait PayloadKind
   case object Markup extends PayloadKind
   case object Layout extends PayloadKind
@@ -185,37 +215,43 @@ object Lexer {
         // A quote opens a value only right after '=' (plus spaces), the
         // HTML5 before-attribute-value position: a quote inside an UNQUOTED
         // value (<img alt=don't>) is literal and must not swallow payload
-        // up to the next quote/EOF (round-3 review finding)
+        // up to the next quote/EOF (round-3 review finding).
+        // Fast path (round-7): a '>' straight after the name — every close
+        // tag and attribute-less open tag, the overwhelming majority —
+        // needs no attribute scan at all.
         var k = j
-        var afterEq = false
-        while (k < n && s.charAt(k) != '>') {
-          val q = s.charAt(k)
-          if ((q == '"' || q == '\'') && afterEq) {
-            k += 1
-            while (k < n && s.charAt(k) != q) k += 1
-            if (k < n) k += 1
-            afterEq = false
-          } else {
-            if (q == '=') afterEq = true
-            else if (!q.isWhitespace) afterEq = false
-            k += 1
+        if (!(k < n && s.charAt(k) == '>')) {
+          var afterEq = false
+          while (k < n && s.charAt(k) != '>') {
+            val q = s.charAt(k)
+            if ((q == '"' || q == '\'') && afterEq) {
+              k += 1
+              while (k < n && s.charAt(k) != q) k += 1
+              if (k < n) k += 1
+              afterEq = false
+            } else {
+              if (q == '=') afterEq = true
+              else if (!q.isWhitespace) afterEq = false
+              k += 1
+            }
           }
         }
         val selfClosed = k > i && s.charAt(math.min(k, n) - 1) == '/'
         val tagEnd = if (k < n) k + 1 else n
 
         if (name.nonEmpty) {
-          if (BlockTags.contains(name)) {
+          val flags = tagFlags(name)
+          if ((flags & FlagBlock) != 0) {
             flush()
-            if (DropTags.contains(name)) {
+            if ((flags & FlagDrop) != 0) {
               if (close) { if (dropDepth > 0) dropDepth -= 1 }
-              else if (!selfClosed && !VoidTags.contains(name)) dropDepth += 1
+              else if (!selfClosed && (flags & FlagVoid) == 0) dropDepth += 1
             }
             if (close) {
               // pop up to matching tag (tolerant of mis-nesting)
               val idx = stack.lastIndexOf(name)
               if (idx >= 0) stack.remove(idx, stack.size - idx)
-            } else if (!selfClosed && !VoidTags.contains(name)) {
+            } else if (!selfClosed && (flags & FlagVoid) == 0) {
               stack += name
             }
           } else {
@@ -339,7 +375,9 @@ object Lexer {
     * One block per line; reading order = sort by (y, x). Offsets point at the
     * text portion of each raw line. */
   def lexLayout(s: String, stats: Boolean = true): Seq[Block] = {
-    val out = mutable.ArrayBuffer.empty[(Int, Int, Block)]
+    val out = mutable.ArrayBuffer.empty[Block]
+    val ys = mutable.ArrayBuffer.empty[Int]
+    val xs = mutable.ArrayBuffer.empty[Int]
     var i = s.indexOf('\n')
     if (i < 0) return Seq.empty
     i += 1
@@ -356,16 +394,29 @@ object Lexer {
             val y = java.lang.Integer.parseInt(s.substring(sp1 + 1, sp2))
             val textStart = sp2 + 1
             val text = s.substring(textStart, eol)
-            if (text.nonEmpty)
-              out += ((y, x,
-                Block.make("line", "layout", text, textStart, eol, 0, 0, 0,
-                  stats)))
+            if (text.nonEmpty) {
+              out += Block.make("line", "layout", text, textStart, eol,
+                0, 0, 0, stats)
+              ys += y; xs += x
+            }
           } catch { case _: NumberFormatException => () }
         }
       }
       i = eol + 1
     }
-    out.sortBy(t => (t._1, t._2)).map(_._3).toSeq
+    // reading order = sort by (y, x) — but the common emitter writes lines
+    // already ordered, so detect sortedness in one cheap pass and skip the
+    // tuple-sort machinery (round-7; identical order either way — the sort
+    // below is stable and keyed exactly (y, x))
+    var sorted = true
+    var k = 1
+    while (sorted && k < ys.length) {
+      if (ys(k - 1) > ys(k) || (ys(k - 1) == ys(k) && xs(k - 1) > xs(k)))
+        sorted = false
+      k += 1
+    }
+    if (sorted) out.toSeq
+    else out.indices.sortBy(idx => (ys(idx), xs(idx))).map(out(_)).toSeq
   }
 
   // ---------------------------------------------------------------- tool json

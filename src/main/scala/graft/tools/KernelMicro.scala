@@ -1,0 +1,52 @@
+package graft.tools
+
+import graft.extract.{ExtractTurnExpr, Lexer}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-threaded microbenchmark of the per-turn kernel pieces over the
+  * four bench payload shapes — isolates lex vs decode vs assemble costs
+  * without Spark in the loop (round-7 profiling aid). */
+object KernelMicro {
+  def main(args: Array[String]): Unit = {
+    val words = (0 until 40).map(i => f"w${i * 2654435761L % 65536}%04x")
+      .mkString(" ")
+    val shapes = Array(
+      s"""<nav><a href="#">home</a> <a href="#">docs</a> <a href="#">about</a></nav><div class="content"><p>$words</p></div><footer>(c) 2024 graft corp &amp; co</footer>""",
+      s"""<header><h1>Results</h1></header><aside><a href="#">ad one</a> <a href="#">ad two</a></aside><div class="content"><p>$words</p></div><footer>(c) 2024 graft corp &amp; co</footer>""",
+      "%PDFISH\n" + words.split(" ").grouped(8).zipWithIndex
+        .map { case (ws, i) => s"10 ${(i + 1) * 10} ${ws.mkString(" ")}" }
+        .mkString("\n"),
+      s"""{"tool":"search","status":"ok","result":"$words"}""")
+    val roles = Array("user", "assistant", "tool", "user")
+    val u8 = shapes.map(UTF8String.fromString)
+    val n = 400000
+    def timeIt(label: String)(f: Int => Unit): Unit = {
+      var best = Long.MaxValue
+      (1 to 5).foreach { _ =>
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < n) { f(i & 3); i += 1 }
+        best = math.min(best, System.nanoTime() - t0)
+      }
+      println(f"$label%-26s ${best / 1e6}%8.1f ms for $n calls  (${best / n}%d ns/turn)")
+    }
+    var sink = 0L
+    (0 until 4).foreach { shape =>
+      timeIt(s"lex shape $shape only") { _ =>
+        sink += Lexer.lex(shapes(shape), roles(shape), stats = false).length }
+    }
+    timeIt("toString only") { k => sink += u8(k).toString.length }
+    timeIt("lex only (stats=false)") { k =>
+      sink += Lexer.lex(shapes(k), roles(k), stats = false).length }
+    timeIt("lex only (stats=true)") { k =>
+      sink += Lexer.lex(shapes(k), roles(k), stats = true).length }
+    timeIt("full extractTurn plain") { k =>
+      sink += ExtractTurnExpr.extractTurn(u8(k), UTF8String.fromString(roles(k)),
+        scored = false, w = null, b = 0, threshold = 0).numFields }
+    timeIt("full extractTurn scored") { k =>
+      sink += ExtractTurnExpr.extractTurn(u8(k), UTF8String.fromString(roles(k)),
+        scored = true, w = Array(2.0, -4.0, -1.0, 1.0, -2.0), b = 0.25,
+        threshold = 0.5).numFields }
+    println(s"sink=$sink")
+  }
+}
