@@ -65,14 +65,22 @@ object Dedup {
                    threshold: Double, maxShingleDf: Long = 0): DataFrame = {
     val shRaw = df
       .select(col(key).as("k"), explode(array_distinct(shingles(col(tokens), k))).as("sh"))
+    // The (k, sh) long form is consumed by THREE branches below (per-doc
+    // sizes, both sides of the inverted-index self-join, and the df-cap
+    // stats) — materialize it once (round-7): lazily each branch re-ran
+    // the shingle explode over the corpus, and only the self-join's two
+    // sides canonicalize equal for exchange reuse. At 10^12 rows this
+    // boundary is a staged table (the q74 materialize-between-stages
+    // discipline); the checkpoint is the single-job spelling.
+    val shMat = shRaw.localCheckpoint()
     val sh =
-      if (maxShingleDf <= 0) shRaw
+      if (maxShingleDf <= 0) shMat
       else {
         // one extra small aggregation keyed by shingle (partial agg applies);
         // the join back is on the same key, so the exchange is reused.
-        val dfStats = shRaw.groupBy("sh").agg(count(lit(1)).as("sh_df"))
+        val dfStats = shMat.groupBy("sh").agg(count(lit(1)).as("sh_df"))
           .filter(col("sh_df") <= maxShingleDf).select("sh")
-        shRaw.join(dfStats, Seq("sh"), "left_semi")
+        shMat.join(dfStats, Seq("sh"), "left_semi")
       }
     val sizes = sh.groupBy("k").agg(count(lit(1)).as("sz"))
     val pairs = sh.as("a").join(sh.as("b"),
