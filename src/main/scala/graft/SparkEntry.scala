@@ -185,7 +185,11 @@ object SparkEntry {
     sharedVocab.computeIfAbsent((s, dir), _ => {
       val tc = docTermCounts(s, dir)
       val n = t(s, dir, "documents").count()
+      // checkpoint: the pruned dictionary is keepN-capped (tiny), and the
+      // df-stats aggregation + ranking window behind it re-ran on every
+      // consumer (q14/q15/q16 plus the LDA/LSA tiers) — round-7
       val vocab = Vocab.buildFromCounts(tc, n, noBelow = 2, noAbove = 0.9)
+        .localCheckpoint()
       (vocab, n, vocab.count().toInt)
     })
 
@@ -675,27 +679,23 @@ object SparkEntry {
     "q13_tokens" -> ((s, dir) => docTokens(s, dir)
       .select(col("doc_id"), explode(col("tokens")).as("token"))),
 
-    // A2/A3 — dictionary with filter_extremes + deterministic ids
-    "q14_vocab" -> ((s, dir) => {
-      val tc = docTermCounts(s, dir)
-      val n = t(s, dir, "documents").count()
-      Vocab.buildFromCounts(tc, n, noBelow = 2, noAbove = 0.9)
-    }),
+    // A2/A3 — dictionary with filter_extremes + deterministic ids. The
+    // three vocab-tier queries read the ONE shared dictionary build
+    // (vocabInfo — same params, byte-identical rows; round-7: each
+    // invocation re-ran the df-stats aggregation + ranking window).
+    "q14_vocab" -> ((s, dir) => vocabInfo(s, dir)._1),
 
     // A4 — bag of words (long form); vocab + bow branches read the one
     // materialized termCounts aggregate (see docTermCounts).
     "q15_bow" -> ((s, dir) => {
       val tc = docTermCounts(s, dir)
-      val n = t(s, dir, "documents").count()
-      val vocab = Vocab.buildFromCounts(tc, n, noBelow = 2, noAbove = 0.9)
-      Vocab.bowFromCounts(tc, vocab, "doc_id")
+      Vocab.bowFromCounts(tc, vocabInfo(s, dir)._1, "doc_id")
     }),
 
     // M1 — tf-idf (rounded column math); single vocab join carrying id+df
     "q16_tfidf" -> ((s, dir) => {
       val tc = docTermCounts(s, dir)
-      val n = t(s, dir, "documents").count()
-      val vocab = Vocab.buildFromCounts(tc, n, noBelow = 2, noAbove = 0.9)
+      val (vocab, n, _) = vocabInfo(s, dir)
       Vocab.tfidfFromCounts(tc, vocab, "doc_id", n)
         .withColumn("tfidf", round(col("tfidf"), 6))
     }),
