@@ -44,8 +44,14 @@ object Dedup {
 
   // ------------------------------------------------------- shingles / jaccard
 
-  /** k-token shingles of a token array, as strings. */
+  /** k-token shingles of a token array, as strings — native one-pass
+    * kernel ([[ShinglesExpr]], round-7); the composed spelling below is
+    * the DedupSpec cross-check target. */
   def shingles(tokens: Column, k: Int): Column =
+    ShinglesExpr.shingles(tokens, k)
+
+  /** Composed HOF spelling of [[shingles]] (pinned ≡ native by spec). */
+  private[graft] def shinglesComposed(tokens: Column, k: Int): Column =
     transform(sequence(lit(0), greatest(size(tokens) - k, lit(0))),
       i => array_join(slice(tokens, i + 1, lit(k)), " "))
 

@@ -122,17 +122,29 @@ object Normalize {
   def pipeline(text: Column,
                stops: Seq[String] = DefaultStops,
                lemmas: Map[String, String] = Map.empty): Column = {
-    if (lemmas.isEmpty) {
-      val stopArr = array(stops.map(lit): _*)
-      filter(split(stripPunctDigits(asciiFold(text)), "\\s+"), t =>
-        length(t) >= 3 && length(t) < 15 &&
-          !t.rlike("([a-z])\\1\\1") && !array_contains(stopArr, t))
-    } else {
+    if (lemmas.isEmpty)
+      // native one-pass kernel (round-7); [[pipelineComposed]] stays the
+      // readable reference semantics, pinned equal by NormalizeSpec
+      NormalizeTokensExpr.pipeline(text, stops)
+    else {
       val t0 = tokenize(stripPunctDigits(asciiFold(text)))
       val t1 = lemmaLookup(t0, lemmas)
       val t2 = lengthFilter(t1)
       val t3 = tripleFilter(t2)
       stopFilter(t3, stops)
     }
+  }
+
+  /** The composed (built-ins/HOF) spelling of the lemma-free [[pipeline]]
+    * — kept as the cross-check target for [[NormalizeTokensExpr]]
+    * (NormalizeSpec pins native ≡ composed; the fused single `filter`
+    * conjunction is itself equivalent to the staged chain: every stage is
+    * a per-element predicate and `And` short-circuits). */
+  def pipelineComposed(text: Column,
+                       stops: Seq[String] = DefaultStops): Column = {
+    val stopArr = array(stops.map(lit): _*)
+    filter(split(stripPunctDigits(asciiFold(text)), "\\s+"), t =>
+      length(t) >= 3 && length(t) < 15 &&
+        !t.rlike("([a-z])\\1\\1") && !array_contains(stopArr, t))
   }
 }

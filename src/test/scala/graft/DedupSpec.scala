@@ -25,6 +25,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) === true)
   }
 
+  test("native shingles ≡ composed spelling on edge shapes") {
+    import org.apache.spark.sql.functions._
+    val edge = Seq(
+      Seq("a", "b", "c", "d", "e"),
+      Seq("a"),            // n < k: one truncated shingle
+      Seq("a", "b", "c"),  // n == k
+      Seq.empty[String],   // empty: one "" shingle (composed semantics)
+      Seq("x", "", "y", "z")).toDF("tokens")
+    (1 to 4).foreach { k =>
+      val got = edge.select(
+        Dedup.shingles(col("tokens"), k).as("n"),
+        Dedup.shinglesComposed(col("tokens"), k).as("c")).collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"k=$k: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("ngram jaccard finds the near-dup pair, not the unrelated one") {
     val pairs = Dedup.ngramJaccard(docs, "doc_id", "tokens", k = 3, threshold = 0.5)
       .select("key_a", "key_b").as[(Long, Long)].collect().toSet

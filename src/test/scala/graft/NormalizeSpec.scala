@@ -37,6 +37,31 @@ class NormalizeSpec extends AnyFunSuite {
     "punct-uation: splits? no—it deletes!",
     "")
 
+  test("native pipeline ≡ composed spelling on goldens + stress families") {
+    val stress = cases ++ Seq(
+      "tab\tsepvtab\fformfeed lines",
+      "🙂🙂 astral 😀ab pair xx🙂zz",
+      "İstanbul Iı STRASSE straße",
+      "wordthatkeepsgoingforever tiny ok zzz aaa",
+      "ùúûü çñýÿ ÀÁ xÃx")
+    val df = stress.toDF("text")
+    val got = df.select(
+      Normalize.pipeline(col("text")).as("n"),
+      Normalize.pipelineComposed(col("text")).as("c")).collect()
+    got.zip(stress).foreach { case (r, in) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"native/composed diverge on '${in.take(50)}': " +
+          s"${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+    }
+    // and over the fixture corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val diff = docs.select(
+      Normalize.pipeline(col("text")).as("n"),
+      Normalize.pipelineComposed(col("text")).as("c"))
+      .filter(col("n") =!= col("c")).count()
+    assert(diff == 0L)
+  }
+
   test("pipeline matches the sequential oracle on golden cases") {
     val stops = Normalize.DefaultStops
     val lemmas = Map("dogs" -> "dog", "foxes" -> "fox")
