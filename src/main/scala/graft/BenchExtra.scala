@@ -41,16 +41,23 @@ object BenchExtra {
     val rows = names.map { case (name, fn) =>
       spark.sparkContext.setJobDescription(s"bench-extra: $name")
       val cold = noopTime(fn)
-      val warm = (1 to repeats).map(_ => noopTime(fn)).min
+      // at least one warm pass; failed passes (-1 sentinel) never win `min`
+      val warmRuns = (1 to math.max(repeats, 1)).map(_ => noopTime(fn))
+      val ok = warmRuns.filter(_ >= 0)
+      val warm = if (ok.nonEmpty) ok.min else -1.0
       println(f"$name%-28s cold=${r3(cold)}%8.3f warm=${r3(warm)}%8.3f")
       (name, cold, warm)
     }
     spark.sparkContext.setJobDescription(null)
     val js = rows.map { case (n, c, w) =>
       s""""$n":{"cold":${r3(c)},"warm":${r3(w)}}""" }.mkString("{", ",", "}")
+    // totals exclude failure sentinels and say so, rather than silently
+    // deflating by -1 per failed query (round-7 review finding)
+    val failed = rows.filter(r => r._2 < 0 || r._3 < 0).map(_._1)
     println(s"""BENCH_EXTRA={"sf":"$sfDir","queries":$js,""" +
-      s""""total_warm":${r3(rows.map(_._3).sum)},""" +
-      s""""total_cold":${r3(rows.map(_._2).sum)}}""")
+      s""""total_warm":${r3(rows.map(_._3).filter(_ >= 0).sum)},""" +
+      s""""total_cold":${r3(rows.map(_._2).filter(_ >= 0).sum)},""" +
+      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     SparkEntry.releaseShared(spark)
     spark.stop()
   }

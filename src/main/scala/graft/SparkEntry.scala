@@ -410,64 +410,39 @@ object SparkEntry {
       (quality.join(keepers, Seq("doc_id"), "left_semi").persist(mem), quality)
     })._1
 
-  def releaseShared(s: SparkSession): Unit = {
-    val ait = sharedResults.entrySet().iterator()
-    while (ait.hasNext) {
-      val e = ait.next()
-      if (e.getKey._1 eq s) { e.getValue.unpersist(); ait.remove() }
-    }
-    val cit = sharedCurated.entrySet().iterator()
-    while (cit.hasNext) {
-      val e = cit.next()
-      if (e.getKey._1 eq s) {
-        e.getValue._1.unpersist(); e.getValue._2.unpersist(); cit.remove()
-      }
-    }
-    val qit = sharedIvfQuant.entrySet().iterator()
-    while (qit.hasNext) {
-      val e = qit.next()
-      if (e.getKey._1 eq s) { e.getValue.unpersist(); qit.remove() }
-    }
-    val it = sharedTermCounts.entrySet().iterator()
+  /** Drop this session's entries from one shared cache, running `clean`
+    * on each evicted value (round-7: nine copy-pasted iterator loops
+    * collapsed — every new shared cache was one missed copy away from a
+    * session leak). Checkpointed frames (the sharedResult tier) have no
+    * cache entry to unpersist — their RDD blocks are released by the
+    * ContextCleaner / session stop; the unpersist stays for the persisted
+    * tiers. */
+  private def releaseEntries[K <: Product, V](
+      m: java.util.concurrent.ConcurrentHashMap[K, V], s: SparkSession)(
+      clean: V => Unit): Unit = {
+    val it = m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey._1 eq s) { e.getValue.unpersist(); it.remove() }
+      if (e.getKey.productElement(0).asInstanceOf[AnyRef] eq s) {
+        clean(e.getValue); it.remove()
+      }
     }
-    val lit = sharedLda.entrySet().iterator()
-    while (lit.hasNext) {
-      val e = lit.next()
-      if (e.getKey._1 eq s) { e.getValue._2.unpersist(); lit.remove() }
+  }
+
+  def releaseShared(s: SparkSession): Unit = {
+    releaseEntries(sharedResults, s)(_.unpersist(): Unit)
+    releaseEntries(sharedCurated, s) { v =>
+      v._1.unpersist(); v._2.unpersist(): Unit
     }
-    val sit = sharedLsa.entrySet().iterator()
-    while (sit.hasNext) {
-      val e = sit.next()
-      if (e.getKey._1 eq s) { e.getValue._1.unpersist(); sit.remove() }
-    }
-    val pit = sharedPca.entrySet().iterator()
-    while (pit.hasNext) {
-      val e = pit.next()
-      if (e.getKey._1 eq s) pit.remove()
-    }
-    val kit = sharedKmeans.entrySet().iterator()
-    while (kit.hasNext) {
-      val e = kit.next()
-      if (e.getKey._1 eq s) kit.remove()
-    }
-    val vit = sharedVocab.entrySet().iterator()
-    while (vit.hasNext) {
-      val e = vit.next()
-      if (e.getKey._1 eq s) vit.remove()
-    }
-    val q55it = sharedQ55Stats.entrySet().iterator()
-    while (q55it.hasNext) {
-      val e = q55it.next()
-      if (e.getKey._1 eq s) q55it.remove()
-    }
-    val dit = sharedDoc2vec.entrySet().iterator()
-    while (dit.hasNext) {
-      val e = dit.next()
-      if (e.getKey._1 eq s) dit.remove()
-    }
+    releaseEntries(sharedIvfQuant, s)(_.unpersist(): Unit)
+    releaseEntries(sharedTermCounts, s)(_.unpersist(): Unit)
+    releaseEntries(sharedLda, s)(_._2.unpersist(): Unit)
+    releaseEntries(sharedLsa, s)(_._1.unpersist(): Unit)
+    releaseEntries(sharedPca, s)(_ => ())
+    releaseEntries(sharedKmeans, s)(_ => ())
+    releaseEntries(sharedVocab, s)(_ => ())
+    releaseEntries(sharedQ55Stats, s)(_ => ())
+    releaseEntries(sharedDoc2vec, s)(_ => ())
   }
 
   /** Oracle-side content chunks of a documents-derived turn: the scored
@@ -1103,10 +1078,25 @@ object SparkEntry {
       // — what must stay fresh per run is the checkpoint + sink, and does.
       val inDir = s"$base/in"
       val prev = new java.io.File(base).listFiles()
-      if (prev != null) prev.filter(_.getName != "in").foreach(deleteRecursively)
-      if (!new java.io.File(s"$inDir/_SUCCESS").exists) {
+      if (prev != null)
+        prev.filterNot(f => f.getName == "in" || f.getName == "in_stamp")
+          .foreach(deleteRecursively)
+      // the staged-input marker carries the FULL sf dir string — the base
+      // dir is keyed by a 2^30 hash, so a collision between two sf dirs in
+      // one process (or a different dir mapping to the same bucket) must
+      // re-stage rather than silently stream the wrong corpus (round-7
+      // review finding)
+      val stamp = new java.io.File(base, "in_stamp")
+      val stampOk = stamp.exists &&
+        new String(java.nio.file.Files.readAllBytes(stamp.toPath),
+          java.nio.charset.StandardCharsets.UTF_8) == dir
+      if (!stampOk || !new java.io.File(s"$inDir/_SUCCESS").exists) {
+        deleteRecursively(new java.io.File(inDir))
         Transcripts.fromDocuments(s, dir)
           .write.mode("overwrite").parquet(inDir)
+        java.nio.file.Files.write(stamp.toPath,
+          dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ()
       }
       val run = s"$base/${System.nanoTime()}"
       val q = graft.streaming.StreamingExtract.fromParquetDir(s, inDir)
@@ -1140,8 +1130,12 @@ object SparkEntry {
           threshold = 0.4, dim = 64, bits = 4)
         .select(col("key_a").as("src"), col("key_b").as("dst"))
         .persist()
+      // no extra persist: connectedComponents returns the last round's
+      // eagerly checkpointed frame — already materialized for the fixpoint
+      // re-read (a persist here left a session-lifetime cache entry
+      // releaseShared could no longer reach; round-7 review finding)
       val labels = Dedup.connectedComponents(
-        emb.select(col("vec_id")), "vec_id", edges, iters = CcIters).persist()
+        emb.select(col("vec_id")), "vec_id", edges, iters = CcIters)
       require(Dedup.converged(labels, "vec_id", edges),
         s"q77: hash-min did not converge in $CcIters rounds — a component's " +
           "diameter outgrew the oracle's unrolled replay; raise CcIters " +

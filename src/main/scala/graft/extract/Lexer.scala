@@ -453,11 +453,14 @@ object Lexer {
     while (i < n && !done) {
       // bulk run up to the next escape or closing quote (round-7): typical
       // tool output has neither mid-string, so the whole value lands in one
-      // intrinsified indexOf + bulk append instead of a per-char loop
-      var stop = s.indexOf('"', i)
-      if (stop < 0) stop = n
+      // intrinsified indexOf + bulk append instead of a per-char loop. The
+      // quote scan is BOUNDED by the next escape — an unbounded indexOf
+      // re-scanned to the closing quote after every escape, going quadratic
+      // on escape-dense values (round-7 review finding).
       val bs = s.indexOf('\\', i)
-      if (bs >= 0 && bs < stop) stop = bs
+      var stop =
+        if (bs < 0) { val q = s.indexOf('"', i); if (q < 0) n else q }
+        else { var q = i; while (q < bs && s.charAt(q) != '"') q += 1; q }
       if (stop > i) { sb.append(s, i, stop); i = stop }
       if (i >= n) done = true
       else {
